@@ -1,24 +1,125 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.model.{RobotsRule, WaveMetrics}
+import graft.operators.FrontierKernel
+import graft.plans.CrawlJob
+import graft.synth.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line; the headline value is the
+  * BASELINE.json metric — frontier URLs scheduled+deduped per second —
+  * measured on a synthetic seed expansion: a generated N-row frontier
+  * (30% aimed at one hot host, 25% overlapping an M-row pre-seeded seen
+  * set) pushed through the engine's schedule+dedup kernel
+  * ([[FrontierKernel]]: two-phase salted politeness top-k → visit-id
+  * assignment → bloom-prefiltered exact dedup → robots predicate).
+  *
+  * Also reported:
+  *  - "queries": per-query seconds for the relational battery;
+  *  - "crawl_*": end-to-end wave-loop crawl of the synthetic web corpus
+  *    (all IceLite checkpoint writes included — the durable number);
+  *  - with SPARK_GRAFT_SCALING=1: the same kernel at local[8] vs
+  *    local[32] on identical input + scaling efficiency (sandbox
+  *    stand-in for the N→4N executor criterion).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def runKernel(spark: SparkSession, n: Long, cpus: Int): (Double, Long) =
+    BenchKernelRunner.run(spark, n, cpus)
+    // 30% of URLs on host 0 (hot-domain skew fixture), rest spread evenly.
+  // ---- end-to-end crawl -------------------------------------------------
+  private def corpusConfig(sfDir: String): Corpus.Config =
+    if (sfDir.contains("0.1")) Corpus.Config(nHosts = 48, pagesPerHost = 160, linksPerPage = 10)
+    else if (sfDir.contains("0.01")) Corpus.Config(nHosts = 16, pagesPerHost = 64, linksPerPage = 8)
+    else Corpus.Config(nHosts = 8, pagesPerHost = 24, linksPerPage = 6)
+
+  private def corpusPath(spark: SparkSession, cfg: Corpus.Config): String = {
+    val key = s"${cfg.nHosts}-${cfg.pagesPerHost}-${cfg.linksPerPage}-${cfg.seed}"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$key"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      import spark.implicits._
+      spark.createDataset(Corpus.generate(cfg)).toDF()
+        .repartition(8).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  private def runCrawl(spark: SparkSession, cfg: Corpus.Config, cpus: Int, tag: String): (Double, Long) = {
+    val docs = spark.read.parquet(corpusPath(spark, cfg))
+    val root = Files.createTempDirectory(s"graft-bench-$tag").toString
+    val jobCfg = CrawlJob.Config(
+      seeds = Seq(Corpus.pageUrl(cfg, 0, 0), Corpus.pageUrl(cfg, 1, 0)),
+      onDomain = false, hostBudget = 2048, maxWaves = 40,
+      numPartitions = cpus, saltBuckets = math.max(4, cpus / 2))
+    val t0 = System.nanoTime()
+    val metrics: Seq[WaveMetrics] = CrawlJob.run(spark, docs, Corpus.robotsRules(cfg), jobCfg, root)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val urls = metrics.map(m => m.fetched + m.fetch_miss + m.dedup_hits).sum +
+      metrics.map(_.robots_blocked).sum
+    (wall, urls)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val kernelN = sys.env.getOrElse("SPARK_GRAFT_KERNEL_N",
+      if (sfDir.contains("0.1")) "8000000" else "2000000").toLong
+
+    val spark = session(cpus)
+    // relational battery timings
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // headline: kernel throughput (warm-up pass then measured pass)
+    runKernel(spark, math.min(kernelN / 4, 1000000L), cpus)
+    val (kw, ku) = runKernel(spark, kernelN, cpus)
+    val throughput = ku / kw
+
+    // secondary: end-to-end crawl incl. checkpoints
+    val cfg = corpusConfig(sfDir)
+    val (cw, cu) = runCrawl(spark, cfg, cpus, s"main$cpus")
+    val crawlStats =
+      s""""crawl_wall_sec":$cw,"crawl_urls":$cu,"crawl_urls_per_sec":${cu / cw}"""
+
+    val scaling = if (sys.env.get("SPARK_GRAFT_SCALING").contains("1")) {
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s8 = session(8)
+      val (w8, u8) = { runKernel(s8, math.min(kernelN / 4, 1000000L), 8); runKernel(s8, kernelN, 8) }
+      s8.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s32 = session(32)
+      val (w32, u32) = { runKernel(s32, math.min(kernelN / 4, 1000000L), 32); runKernel(s32, kernelN, 32) }
+      s32.stop()
+      val t8 = u8 / w8; val t32 = u32 / w32
+      val eff = (t32 / t8) / 4.0
+      s""","scaling":{"kernel_n":$kernelN,"local8_urls_per_sec":$t8,"local32_urls_per_sec":$t32,"efficiency_8_to_32":$eff}"""
+    } else { spark.stop(); "" }
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"queries":$qs,$crawlStats$scaling,"sf":"$sfDir"}""")
   }
 }

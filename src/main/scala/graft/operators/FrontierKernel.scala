@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.model.RobotsRule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The scale-dominant kernel of the crawl engine, factored out so it can
+  * be benchmarked at 10^7..10^10-row frontier scale independent of the
+  * wave loop's sink writes: one politeness-schedule + dedup pass over a
+  * frontier (exactly what the BASELINE metric "frontier URLs
+  * scheduled+deduped/sec" measures).
+  *
+  * Pipeline = the same stages [[graft.plans.CrawlJob]] runs per wave:
+  *  1. two-phase host-salted politeness top-k (hot-host skew defused);
+  *  2. order-isomorphic visit-id assignment (no global window);
+  *  3. bloom-prefiltered exact dedup against the seen set;
+  *  4. robots predicate filter.
+  */
+object FrontierKernel {
+
+  final case class KernelResult(
+      scheduled: Long, deferred: Long, newUrls: Long, dedupHits: Long,
+      robotsBlocked: Long)
+
+  private val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
+
+  /** One schedule+dedup pass.
+    * frontier: (url, url_hash, host, depth, parent_ord, link_index)
+    * seen:     (url_hash)
+    * Returns counters; `sinkAction` consumes the admitted rows (defaults
+    * to a noop-format write so the whole pipeline actually executes). */
+  def scheduleDedup(spark: SparkSession, frontier: DataFrame, frontierTotal: Long,
+      seen: DataFrame, rules: Seq[RobotsRule], hostBudget: Int, saltBuckets: Int,
+      numPartitions: Int, bloom: BloomFilter): KernelResult = {
+    import org.apache.spark.sql.Observation
+
+    // 1. politeness (contended-host split + two-phase salted top-k)
+    val (fetchSet0, _) = Politeness.select(frontier, rules, hostBudget, saltBuckets)
+
+    // 2. visit ids (persisted: the bloom-split consumes it twice)
+    val fetchSet = Ranker.orderIsomorphicId(fetchSet0, priorityKeys, "ord",
+      1L << 50, numPartitions).persist()
+    val scheduled = fetchSet.count()
+
+    // 3. dedup: bloom prefilter + exact anti-join of bloom-positives
+    val bfB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val fresh = fetchSet.filter(!mightContain(col("url_hash")))
+    val maybe = fetchSet.filter(mightContain(col("url_hash")))
+    val confirmed = maybe.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    val newUrls = fresh.unionByName(confirmed)
+
+    // 4. robots
+    val path = coalesce(nullif(parse_url(col("url"), lit("PATH")), lit("")), lit("/"))
+    val allowed = Robots.compile(rules, col("host"), path)
+
+    val obs = Observation(s"kernel${System.identityHashCode(frontier)}")
+    val admitted = newUrls
+      .observe(obs,
+        count(lit(1)).as("new"),
+        sum(when(allowed, 1L).otherwise(0L)).as("adm"))
+      .filter(allowed)
+    admitted.write.format("noop").mode("overwrite").save()
+
+    val nNew = obs.get("new").asInstanceOf[Long]
+    val nAdm = Option(obs.get("adm")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    fetchSet.unpersist()
+    bfB.destroy()
+    KernelResult(scheduled, frontierTotal - scheduled, nNew, scheduled - nNew, nNew - nAdm)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.model.RobotsRule
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-host politeness budget selection (SURVEY §2.4 P1/P4), built to
+  * survive hot-domain skew at 10^10-frontier scale.
+  *
+  * Three-tier plan:
+  *  1. **Contended-host split** — a cheap per-host count (map-side partial
+  *     agg → bytes per host) broadcast-joined back: hosts whose frontier
+  *     rows fit the budget bypass ALL windows — zero shuffle for the
+  *     common case (the long tail of small hosts IS the frontier at
+  *     web scale).
+  *  2. **Salted pre-window** — contended hosts (the hot ones) first pass a
+  *     window over (host, salt=pmod(url_hash, S)): a host never lands in
+  *     one task; survivors ≤ S × budget per host.
+  *  3. **Final per-host window** — top-budget by the BFS priority
+  *     (depth, parent_ord, link_index) over the pre-cut survivors.
+  *
+  * Selection is decision-identical to a single global per-host window
+  * (tier 1 selects everything ≤ budget; tiers 2+3 select exactly the
+  * budget-smallest by priority), which is what the golden oracle does.
+  */
+object Politeness {
+
+  val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
+
+  /** Split frontier into (fetchSet, deferred) honoring per-host budgets.
+    * Input must have columns host, url_hash, depth, parent_ord,
+    * link_index (extra columns pass through). */
+  def select(frontier: DataFrame, rules: Seq[RobotsRule], hostBudget: Int,
+      saltBuckets: Int): (DataFrame, DataFrame) = {
+    val budget = Robots.budgetColumn(rules, col("host"), hostBudget)
+
+    // tier 1: hosts under budget skip the windows entirely
+    val contendedHosts = frontier.groupBy(col("host"))
+      .agg(count(lit(1)).as("__hn"))
+      .filter(col("__hn") > Robots.budgetColumn(rules, col("host"), hostBudget))
+      .select(col("host"), lit(true).as("__contended"))
+    val tagged = frontier.join(broadcast(contendedHosts), Seq("host"), "left_outer")
+    val uncontended = tagged.filter(col("__contended").isNull).drop("__contended")
+    val contended = tagged.filter(col("__contended").isNotNull).drop("__contended")
+
+    // tier 2: salted pre-window (hot host spread over saltBuckets tasks)
+    val salted = contended.withColumn("__salt", pmod(col("url_hash"), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col("host"), col("__salt")).orderBy(priorityKeys: _*)
+    val phase1 = salted.withColumn("__lrn", row_number().over(w1))
+      .withColumn("__budget", budget)
+    val survivors = phase1.filter(col("__lrn") <= col("__budget"))
+    val defer1 = phase1.filter(col("__lrn") > col("__budget"))
+      .drop("__salt", "__lrn", "__budget")
+
+    // tier 3: exact per-host top-budget over ≤ S×budget rows per host
+    val w2 = Window.partitionBy(col("host")).orderBy(priorityKeys: _*)
+    val phase2 = survivors.withColumn("__rn", row_number().over(w2))
+    val selected = phase2.filter(col("__rn") <= col("__budget"))
+      .drop("__salt", "__lrn", "__rn", "__budget")
+    val defer2 = phase2.filter(col("__rn") > col("__budget"))
+      .drop("__salt", "__lrn", "__rn", "__budget")
+
+    val cols = frontier.columns.map(col).toSeq
+    (uncontended.select(cols: _*).unionByName(selected.select(cols: _*)),
+      defer1.select(cols: _*).unionByName(defer2.select(cols: _*)))
+  }
+}

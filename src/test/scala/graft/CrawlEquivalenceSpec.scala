@@ -1,0 +1,130 @@
+package graft
+
+import graft.model._
+import graft.oracle.CrawlOracle
+import graft.plans.CrawlJob
+import graft.synth.Corpus
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** North-star gate: the Spark engine must replay the golden oracle
+  * bit-for-bit — visit order, URL-seen set, per-row span-sequence
+  * (extracted docs), and all four counters — on the synthetic corpus,
+  * including the robots-exclusion and duplicate-suppression scenarios. */
+class CrawlEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def corpusDf(corpus: Seq[WebDoc]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(corpus).toDF()
+  }
+
+  private def docKey(d: CrawlDoc): (String, String, String, String, String, String, Map[String, List[String]]) =
+    (d.id, d.uri, d.title, d.description, d.keywords, d.ogimage,
+      d.source.map { case (k, v) => k -> v.toList })
+
+  private def runBoth(cfg0: Corpus.Config, seeds: Seq[String], onDomain: Boolean,
+      hostBudget: Int = 4, maxWaves: Int = 64, tag: String = "eq"):
+      (CrawlOracle.Result, String, Seq[WaveMetrics]) = {
+    val corpus = Corpus.generate(cfg0)
+    val rules = Corpus.robotsRules(cfg0)
+    val oracleRes = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain, hostBudget, maxWaves))
+    val root = tmpDir(tag)
+    val metrics = CrawlJob.run(spark, corpusDf(corpus), rules,
+      CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    (oracleRes, root, metrics)
+  }
+
+  private def assertEquivalent(o: CrawlOracle.Result, root: String,
+      engineMetrics: Seq[WaveMetrics]): Unit = {
+    // 1. visit order: exact (rank, wave, url) sequence
+    val vGot = CrawlJob.visitOrder(spark, root, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val vWant = o.visits.map(v => (v.rank, v.wave, v.url))
+    assert(vGot.size == vWant.size, s"visit count ${vGot.size} != ${vWant.size}")
+    vWant.zip(vGot).foreach { case (w, g) => assert(g == w, s"visit rank ${w._1}") }
+
+    // 2. URL-seen set: exact set equality on (hash, url)
+    val sGot = CrawlJob.seenSet(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sWant = o.seen.map(s => (s.url_hash, s.url)).toSet
+    assert((sGot diff sWant).isEmpty && (sWant diff sGot).isEmpty,
+      s"seen set: extra=${(sGot diff sWant).take(5)} missing=${(sWant diff sGot).take(5)}")
+
+    // 3. extracted docs: per-row span-sequence equality
+    val dGot = CrawlJob.crawlDocs(spark, root).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5),
+        r.getAs[Map[String, scala.collection.Seq[String]]](6)
+          .map { case (k, v) => k -> v.toList })
+    }.toSet
+    val dWant = o.docs.map(docKey).toSet
+    assert(dGot == dWant,
+      s"docs: extra=${(dGot diff dWant).take(2)} missing=${(dWant diff dGot).take(2)}")
+
+    // 4. counters, per wave
+    assert(engineMetrics == o.metrics,
+      s"metrics:\n engine=${engineMetrics}\n oracle=${o.metrics}")
+  }
+
+  test("tiny corpus, off-domain allowed: engine replays oracle exactly") {
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4)
+    val seeds = Seq("http://HOT.example.com:80/p/0#start")
+    val (o, root, m) = runBoth(cfg, seeds, onDomain = false, tag = "tiny")
+    assert(o.visits.nonEmpty && o.docs.nonEmpty)
+    assertEquivalent(o, root, m)
+  }
+
+  test("on-domain crawl restricts to seed host (colly AllowedDomains)") {
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4, seed = 7L)
+    val seeds = Seq("http://site1.example.org/p/0")
+    val (o, root, m) = runBoth(cfg, seeds, onDomain = true, tag = "ondom")
+    val hosts = o.seen.map(s => graft.functions.UrlOps.hostOf(
+      graft.functions.UrlOps.parse(s.url).authority)).toSet
+    assert(hosts == Set("site1.example.org"))
+    assertEquivalent(o, root, m)
+  }
+
+  test("multi-seed, tight budget: deferrals + robots + dedup all exercised") {
+    val cfg = Corpus.Config(nHosts = 6, pagesPerHost = 8, linksPerPage = 6, seed = 13L)
+    val seeds = Seq(
+      "http://hot.example.com/p/0",
+      "http://site1.example.org/p/0?b=1&a=1",
+      "http://hot.example.com/p/0#dup") // duplicate seed after canonicalization
+    val (o, root, m) = runBoth(cfg, seeds, onDomain = false, hostBudget = 2, tag = "multi")
+    assert(o.metrics.map(_.deferred).sum > 0, "expected deferrals under tight budget")
+    assert(o.metrics.map(_.robots_blocked).sum > 0, "expected robots blocks")
+    assert(o.metrics.map(_.dedup_hits).sum > 0, "expected dedup hits")
+    assert(o.metrics.map(_.fetch_miss).sum > 0, "expected dangling-link misses")
+    assertEquivalent(o, root, m)
+  }
+
+  test("kill after wave k, resume: final state identical to uninterrupted run") {
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/2")
+    val oracleRes = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3))
+    val df = corpusDf(corpus)
+    val root = tmpDir("resume")
+    // phase 1: stop after 2 waves (simulated kill between wave commits)
+    val m1 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 2,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assert(m1.size == 2)
+    // phase 2: resume from IceLite snapshots to completion
+    val m2 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(oracleRes, root, m1 ++ m2)
+  }
+}
