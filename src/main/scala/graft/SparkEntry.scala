@@ -17,6 +17,34 @@ object SparkEntry {
     "q7_running_window" -> (Relational.q7RunningWindow _),
     "q8_set_ops" -> (Relational.q8SetOps _),
     "q9_event_window" -> (Relational.q9EventWindow _),
+    // crawl operators over derived URLs (SURVEY §2.2-2.4)
+    "c1_canonicalize" -> (CrawlQueries.c1Canonicalize _),
+    "c2_doc_id" -> (CrawlQueries.c2DocId _),
+    "c3_media_filter" -> (CrawlQueries.c3MediaFilter _),
+    "c4_resolve" -> (CrawlQueries.c4Resolve _),
+    "c5_dedup_first_wins" -> (CrawlQueries.c5DedupFirstWins _),
+    "c6_host_budget" -> (CrawlQueries.c6HostBudget _),
+    "c7_robots" -> (CrawlQueries.c7Robots _),
+    "c8_wave_expansion" -> (CrawlQueries.c8WaveExpansion _),
+    // training-data text analysis
+    "t1_exact_dedup" -> (TextOps.exactDedup _),
+    "t2_token_count" -> (TextOps.tokenCount _),
+    "t3_quality_score" -> (TextOps.qualityScore _),
+    "t4_lang_id" -> (TextOps.langId _),
+    "t5_fingerprint" -> (TextOps.fingerprint _),
+    // near-duplicate detection
+    "d1_minhash_signature" -> (DedupOps.minhashSignature _),
+    "d2_minhash_lsh_pairs" -> (DedupOps.minhashLshPairs _),
+    "d3_simhash" -> (DedupOps.simhash _),
+    "d4_ngram_jaccard" -> (DedupOps.ngramJaccardPairs _),
+    // similarity search
+    "a1_ann_brute_topk" -> (AnnOps.bruteForceTopK _),
+    "a2_ann_lsh_buckets" -> (AnnOps.lshBuckets _),
+    "a3_ann_lsh_topk" -> (AnnOps.lshTopK _),
+    // multimodal binary plumbing
+    "m1_binary_meta" -> (Multimodal.binaryMeta _),
+    "m2_frame_sample" -> (Multimodal.frameSample _),
+    "m3_decode_stub" -> (Multimodal.decodeStub _),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +58,29 @@ object SparkEntry {
     "q7_running_window" -> Relational.q7Sql,
     "q8_set_ops" -> Relational.q8Sql,
     "q9_event_window" -> Relational.q9Sql,
+    "c1_canonicalize" -> CrawlQueries.c1Sql,
+    "c2_doc_id" -> CrawlQueries.c2Sql,
+    "c3_media_filter" -> CrawlQueries.c3Sql,
+    "c4_resolve" -> CrawlQueries.c4Sql,
+    "c5_dedup_first_wins" -> CrawlQueries.c5Sql,
+    "c6_host_budget" -> CrawlQueries.c6Sql,
+    "c7_robots" -> CrawlQueries.c7Sql,
+    "c8_wave_expansion" -> CrawlQueries.c8Sql,
+    "t1_exact_dedup" -> TextOps.exactDedupSql,
+    "t2_token_count" -> TextOps.tokenCountSql,
+    "t3_quality_score" -> TextOps.qualityScoreSql,
+    "t4_lang_id" -> TextOps.langIdSql,
+    "t5_fingerprint" -> TextOps.fingerprintSql,
+    "d1_minhash_signature" -> DedupOps.minhashSignatureSql,
+    "d2_minhash_lsh_pairs" -> DedupOps.minhashLshPairsSql,
+    // d3_simhash: 64-bit bit-vote fingerprint has no faithful DuckDB
+    // twin — driver records the weaker rows-only check for it.
+    "d4_ngram_jaccard" -> DedupOps.ngramJaccardPairsSql,
+    "a1_ann_brute_topk" -> AnnOps.bruteForceTopKSql,
+    "a2_ann_lsh_buckets" -> AnnOps.lshBucketsSql,
+    "a3_ann_lsh_topk" -> AnnOps.lshTopKSql,
+    "m1_binary_meta" -> Multimodal.binaryMetaSql,
+    "m2_frame_sample" -> Multimodal.frameSampleSql,
+    "m3_decode_stub" -> Multimodal.decodeStubSql,
   )
 }

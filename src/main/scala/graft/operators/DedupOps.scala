@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline: MinHash+LSH,
+  * SimHash, and n-gram Jaccard — the dedup family a 100 TB corpus needs
+  * beyond exact hashing (TextOps.exactDedup).
+  *
+  * Scale shapes:
+  *  - MinHash signatures are per-row array expressions (no shuffle);
+  *    LSH banding explodes only (doc, band) pairs — the candidate join is
+  *    a self-join on (band, band_hash) buckets, never all-pairs;
+  *  - SimHash is a per-row 64-bit reduce; near-dup pairs join on
+  *    16-bit sub-bands (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal);
+  *  - Jaccard verification runs only on LSH/band candidates.
+  *
+  * Cross-engine determinism: every hash is md5-derived (DuckDB twin
+  * exists); "random" permutations are seeded by the hash-function index.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def shingles(c: Column): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+  }
+
+  val NumHashes = 8
+  val Bands = 4 // 2 rows per band
+
+  /** MinHash signature: h_k(doc) = min over shingles of md5(k || shingle).
+    * One row per doc, signature as array<string> (md5-prefix per seed). */
+  def minhashSignature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(shingles($"text"),
+        sh => md5(concat(k.cast("string"), lit("|"), sh)))))
+    docs(s, dir)
+      .select($"doc_id", sig.as("minhash_sig"))
+      .select($"doc_id", concat_ws(",", $"minhash_sig").as("sig"))
+      .orderBy($"doc_id")
+  }
+
+  val minhashSignatureSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+      |  FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(generate_series(0, 7),
+      |    k -> list_min(list_transform(shingles, s -> md5(k || '|' || s)))), ',') AS sig
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** MinHash-LSH candidate pairs: band the signature (4 bands × 2 hashes),
+    * bucket-join on (band, band_key), emit distinct candidate pairs.
+    * Verified Jaccard (on the true shingle sets) is attached so callers
+    * can threshold. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(shingles($"text"),
+        sh => md5(concat(k.cast("string"), lit("|"), sh)))))
+    val banded = docs(s, dir)
+      .select($"doc_id", sig.as("sig"), shingles($"text").as("sh"))
+      .select($"doc_id", $"sh", posexplode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * (NumHashes / Bands) + 1, lit(NumHashes / Bands)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val l = banded.select($"doc_id".as("a"), $"sh".as("sh_a"), $"band", $"band_key")
+    val r = banded.select($"doc_id".as("b"), $"sh".as("sh_b"), $"band", $"band_key")
+    l.join(r, Seq("band", "band_key"))
+      .filter($"a" < $"b")
+      .select($"a", $"b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        size(array_union($"sh_a", $"sh_b")).cast("long").as("uni"))
+      .distinct()
+      .orderBy($"a", $"b")
+  }
+
+  val minhashLshPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(generate_series(0, 7),
+      |      k -> list_min(list_transform(shingles, s -> md5(k || '|' || s)))) AS sg
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, shingles, b.band AS band,
+      |    md5(array_to_string(sg[(b.band * 2 + 1):(b.band * 2 + 2)], '|')) AS band_key
+      |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b)
+      |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+      |  len(list_intersect(l.shingles, r.shingles)) AS inter,
+      |  len(list_distinct(list_concat(l.shingles, r.shingles))) AS uni
+      |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+      |WHERE l.doc_id < r.doc_id
+      |ORDER BY a, b""".stripMargin
+
+  /** SimHash-64: per token, md5 → first 16 hex chars → 64 bits; bit j of
+    * the fingerprint = majority vote over tokens. Emitted as 4× 16-bit
+    * sub-bands (integers) — the pigeonhole join key for hamming ≤ 3. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = array_distinct(words(lower($"text")))
+    // per-token 64-bit value from the md5 hex prefix
+    val tokBits = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // majority vote per bit via sum over sign contributions
+    val bitCols = (0 until 60).map { j =>
+      val votes = aggregate(tokBits, lit(0L),
+        (acc, v) => acc + when(shiftright(v, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }
+    val sim = bitCols.reduce(_ + _)
+    docs(s, dir).select(
+      $"doc_id", sim.as("simhash"),
+      (sim.bitwiseAND(lit(0x7FFFL))).as("band0"),
+      (shiftright(sim, 15).bitwiseAND(lit(0x7FFFL))).as("band1"),
+      (shiftright(sim, 30).bitwiseAND(lit(0x7FFFL))).as("band2"),
+      (shiftright(sim, 45).bitwiseAND(lit(0x7FFFL))).as("band3"))
+      .orderBy($"doc_id")
+  }
+
+  /** n-gram Jaccard within same-lang blocks (blocked all-pairs — blocks
+    * bound the quadratic term; LSH above is the no-block path). Integer
+    * outputs only: inter, union, and a jaccard≥0.3 flag via cross-multiply. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"lang", shingles($"text").as("sh"))
+    val l = d.select($"lang", $"doc_id".as("a"), $"sh".as("sh_a"))
+    val r = d.select($"lang", $"doc_id".as("b"), $"sh".as("sh_b"))
+    l.join(r, Seq("lang")).filter($"a" < $"b")
+      .select($"lang", $"a", $"b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        size(array_union($"sh_a", $"sh_b")).cast("long").as("uni"))
+      .filter($"inter" * 10 >= $"uni" * 1) // keep pairs with jaccard >= 0.1
+      .orderBy($"lang", $"a", $"b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+      |  FROM documents)
+      |SELECT l.lang AS lang, l.doc_id AS a, r.doc_id AS b,
+      |  len(list_intersect(l.sh, r.sh)) AS inter,
+      |  len(list_distinct(list_concat(l.sh, r.sh))) AS uni
+      |FROM d l JOIN d r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |WHERE len(list_intersect(l.sh, r.sh)) * 10 >= len(list_distinct(list_concat(l.sh, r.sh)))
+      |ORDER BY lang, a, b""".stripMargin
+}
