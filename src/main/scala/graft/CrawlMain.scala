@@ -1,0 +1,84 @@
+package graft
+
+import graft.plans.CrawlJob
+import graft.synth.Corpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point for the crawl engine — the CLI twin of the
+  * reference's `POST /crawl` (serving/handlers.go:25-96).
+  *
+  * Usage:
+  *   spark-submit --class graft.CrawlMain <jar> \
+  *     --docs <parquet path|synth:<hosts>x<pages>> --state <state root> \
+  *     --seed <url> [--seed <url> ...] [--on-domain] [--host-budget N]
+  *     [--max-waves N] [--partitions N] [--emit-visit-order]
+  *
+  * Validation mirrors the handler: invalid seed → exit 400-style error;
+  * the job itself runs to completion (or resumes from the state root's
+  * last committed wave).
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    var docsPath = ""
+    var state = ""
+    var seeds = Vector.empty[String]
+    var onDomain = false
+    var hostBudget = 64
+    var maxWaves = 64
+    var partitions = 32
+    var emitOrder = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--docs" => docsPath = args(i + 1); i += 2
+        case "--state" => state = args(i + 1); i += 2
+        case "--seed" => seeds :+= args(i + 1); i += 2
+        case "--on-domain" => onDomain = true; i += 1
+        case "--host-budget" => hostBudget = args(i + 1).toInt; i += 2
+        case "--max-waves" => maxWaves = args(i + 1).toInt; i += 2
+        case "--partitions" => partitions = args(i + 1).toInt; i += 2
+        case "--emit-visit-order" => emitOrder = true; i += 1
+        case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
+      }
+    }
+    if (docsPath.isEmpty || state.isEmpty || seeds.isEmpty) {
+      System.err.println("required: --docs <path> --state <dir> --seed <url>")
+      sys.exit(2)
+    }
+    // seed validation = handler semantics (handlers.go:41-69 + Init 400)
+    val invalid = seeds.filter(s => graft.functions.UrlOps.canonicalize(s) == null)
+    if (invalid.nonEmpty) {
+      System.err.println(s"400: invalid seed URL(s): ${invalid.mkString(", ")}")
+      sys.exit(1)
+    }
+
+    val spark = SparkSession.builder()
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs =
+      if (docsPath.startsWith("synth:")) {
+        val Array(h, p) = docsPath.stripPrefix("synth:").split("x")
+        import spark.implicits._
+        spark.createDataset(Corpus.generate(
+          Corpus.Config(nHosts = h.toInt, pagesPerHost = p.toInt))).toDF()
+      } else spark.read.parquet(docsPath)
+
+    val metrics = CrawlJob.run(spark, docs,
+      Corpus.robotsRules(Corpus.Config()), // TODO: --robots <table path>
+      CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves, partitions), state)
+
+    metrics.foreach(m => println(
+      s"wave=${m.wave} fetched=${m.fetched} deferred=${m.deferred} " +
+        s"robots_blocked=${m.robots_blocked} dedup_hits=${m.dedup_hits} " +
+        s"fetch_miss=${m.fetch_miss}"))
+    if (emitOrder)
+      CrawlJob.visitOrder(spark, state, partitions)
+        .orderBy(col("rank")).show(50, truncate = false)
+    spark.stop()
+  }
+}
