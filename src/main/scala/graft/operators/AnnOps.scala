@@ -21,6 +21,7 @@ object AnnOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Sequential-order dot product in double precision — both engines
     * accumulate left-to-right, so results are bit-identical. */

