@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xlog:gc:file=/tmp/graft-gc.log",
+  sys.env.getOrElse("GRAFT_GC", "-XX:+UseG1GC"),
 )
