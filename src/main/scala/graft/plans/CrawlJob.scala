@@ -39,7 +39,20 @@ object CrawlJob {
       numPartitions: Int = 32,
       saltBuckets: Int = 8,
       bloomItems: Long = 4L * 1000 * 1000,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      seenFilter: String = "bloom") // "bloom" | "cuckoo" (north_rule names both)
+
+  /** Broadcastable approximate-membership prefilter: bloom (default) or
+    * cuckoo (deletion-capable; see graft.functions.CuckooFilterImpl). */
+  private sealed trait Prefilter extends Serializable {
+    def mightContain(h: Long): Boolean
+  }
+  private final case class BloomPre(bf: BloomFilter) extends Prefilter {
+    def mightContain(h: Long): Boolean = bf.mightContainLong(h)
+  }
+  private final case class CuckooPre(cf: graft.functions.CuckooFilterImpl) extends Prefilter {
+    def mightContain(h: Long): Boolean = cf.mightContain(h)
+  }
 
   final case class Tables(
       frontier: IceLite.Table,
@@ -98,12 +111,22 @@ object CrawlJob {
       }
     }
 
-    // bloom prefilter: rebuilt from the seen table on (re)start, then
-    // merged incrementally per wave — never rescanned.
+    // seen prefilter (bloom or cuckoo): rebuilt from the seen table on
+    // (re)start, then merged incrementally per wave — never rescanned.
+    val useCuckoo = cfg.seenFilter == "cuckoo"
     var bloom: BloomFilter =
-      if (!t.seen.isEmpty)
+      if (useCuckoo) null
+      else if (!t.seen.isEmpty)
         t.seen.read().stat.bloomFilter("url_hash", cfg.bloomItems, cfg.bloomFpp)
       else BloomFilter.create(cfg.bloomItems, cfg.bloomFpp)
+    var cuckoo: graft.functions.CuckooFilterImpl =
+      if (!useCuckoo) null
+      else if (!t.seen.isEmpty) {
+        import graft.functions.CuckooFilterAgg.cuckoo_filter_agg
+        graft.functions.CuckooFilterImpl.deserialize(
+          t.seen.read().agg(cuckoo_filter_agg(col("url_hash"), cfg.bloomItems))
+            .head.getAs[Array[Byte]](0))
+      } else graft.functions.CuckooFilterImpl.create(cfg.bloomItems)
 
     // in-memory seen (anti-join right side): a union of per-wave cached
     // pieces — IceLite stays the durable copy, but waves never re-read it
@@ -129,10 +152,12 @@ object CrawlJob {
       val frontier = t.frontier.readOr(spark.emptyDataset[FrontierEntry].toDF())
       if (t.frontier.isEmpty) { done = true }
       else {
-        val (m, nextSize, newBloom, newPiece) =
+        val pre: Prefilter = if (useCuckoo) CuckooPre(cuckoo) else BloomPre(bloom)
+        val (m, nextSize, newBloom, newCuckoo, newPiece) =
           runWave(spark, t, docsDf, rules, cfg, wave, frontier, frontierSize,
-            bloom, seenHashes, seedHosts)
+            pre, seenHashes, seedHosts)
         if (newBloom != null) { bloom.mergeInPlace(newBloom) }
+        if (newCuckoo != null) { cuckoo.mergeInPlace(newCuckoo) }
         if (newPiece != null) seenPieces :+= newPiece
         out += m
         frontierSize = nextSize
@@ -151,9 +176,9 @@ object CrawlJob {
     * Returns (metrics, next frontier size, bloom-of-new-seen-hashes). */
   private def runWave(spark: SparkSession, t: Tables, docsDf: DataFrame,
       rules: Seq[RobotsRule], cfg: Config, wave: Int, frontier: DataFrame,
-      frontierSize: Long, bloom: BloomFilter, seenHashes: DataFrame,
+      frontierSize: Long, pre: Prefilter, seenHashes: DataFrame,
       seedHosts: Set[String])
-      : (WaveMetrics, Long, BloomFilter, DataFrame) = {
+      : (WaveMetrics, Long, BloomFilter, graft.functions.CuckooFilterImpl, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.Observation
     // wave-size-adaptive parallelism: a 10-row wave must not pay 32-task
@@ -245,8 +270,8 @@ object CrawlJob {
 
     // bloom prefilter: bloom-negative rows are provably unseen and skip
     // the anti-join; bloom-positive rows get exact confirmation.
-    val bfB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val bfB = spark.sparkContext.broadcast(pre)
+    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
     val fresh = winners.filter(!mightContain(col("url_hash")))
     val maybe = winners.filter(mightContain(col("url_hash")))
     val confirmed = maybe.join(seenHashes, Seq("url_hash"), "left_anti")
@@ -290,10 +315,19 @@ object CrawlJob {
     t.metrics.append(Seq(metrics).toDF().coalesce(1), Map("wave" -> wave.toLong))
     mark("frontier_commit")
 
-    // wave-local bloom of the new hashes, merged by the caller
+    // wave-local filter of the new hashes, merged by the caller
+    val useCuckoo = cfg.seenFilter == "cuckoo"
     val waveBloom =
-      if (nNewSeen == 0) null
+      if (nNewSeen == 0 || useCuckoo) null
       else newSeen.stat.bloomFilter("url_hash", cfg.bloomItems, cfg.bloomFpp)
+    val waveCuckoo =
+      if (nNewSeen == 0 || !useCuckoo) null
+      else {
+        import graft.functions.CuckooFilterAgg.cuckoo_filter_agg
+        graft.functions.CuckooFilterImpl.deserialize(
+          newSeen.agg(cuckoo_filter_agg(col("url_hash"), cfg.bloomItems))
+            .head.getAs[Array[Byte]](0))
+      }
 
     mark("bloom_build")
     // keep the wave's seen hashes cached as the next waves' anti-join
@@ -305,7 +339,7 @@ object CrawlJob {
 
     Seq(deferred0, fetchSet, joined, winners, newSeen).foreach(_.unpersist())
     bfB.destroy()
-    (metrics, nextSize, waveBloom, newPiece)
+    (metrics, nextSize, waveBloom, waveCuckoo, newPiece)
   }
 
   private def countersOf(m: WaveMetrics): Map[String, Long] = Map(

@@ -107,6 +107,20 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEquivalent(o, root, m)
   }
 
+  test("cuckoo seen-filter: exactness is prefilter-independent") {
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4, seed = 55L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/0")
+    val o = CrawlOracle.run(corpus, rules, CrawlOracle.CrawlConfig(seeds))
+    val root = tmpDir("cuckoo")
+    val m = CrawlJob.run(spark, corpusDf(corpus), rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 4, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+        seenFilter = "cuckoo"), root)
+    assertEquivalent(o, root, m)
+  }
+
   test("kill after wave k, resume: final state identical to uninterrupted run") {
     val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
     val corpus = Corpus.generate(cfg)
