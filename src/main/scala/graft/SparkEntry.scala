@@ -37,10 +37,12 @@ object SparkEntry {
     "d2_minhash_lsh_pairs" -> (DedupOps.minhashLshPairs _),
     "d3_simhash" -> (DedupOps.simhash _),
     "d4_ngram_jaccard" -> (DedupOps.ngramJaccardPairs _),
+    "d5_embedding_neardup" -> (DedupOps.embeddingNearDup _),
     // similarity search
     "a1_ann_brute_topk" -> (AnnOps.bruteForceTopK _),
     "a2_ann_lsh_buckets" -> (AnnOps.lshBuckets _),
     "a3_ann_lsh_topk" -> (AnnOps.lshTopK _),
+    "a4_ann_ivf_topk" -> (AnnOps.ivfTopK _),
     // multimodal binary plumbing
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
@@ -76,9 +78,11 @@ object SparkEntry {
     // d3_simhash: 64-bit bit-vote fingerprint has no faithful DuckDB
     // twin — driver records the weaker rows-only check for it.
     "d4_ngram_jaccard" -> DedupOps.ngramJaccardPairsSql,
+    "d5_embedding_neardup" -> DedupOps.embeddingNearDupSql,
     "a1_ann_brute_topk" -> AnnOps.bruteForceTopKSql,
     "a2_ann_lsh_buckets" -> AnnOps.lshBucketsSql,
     "a3_ann_lsh_topk" -> AnnOps.lshTopKSql,
+    "a4_ann_ivf_topk" -> AnnOps.ivfTopKSql,
     "m1_binary_meta" -> Multimodal.binaryMetaSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m3_decode_stub" -> Multimodal.decodeStubSql,

@@ -77,37 +77,43 @@ object AnnOps {
   private def planeWeight(i: Column, p: Int): Column =
     pmod(i * 31 + lit(p) * 17 + 7, lit(7)) - 3
 
-  /** a2: sign-random-projection bucket id per vector (the LSH partition
-    * step; search = same hash on the query + a bucket-local scan).
+  /** Sign-random-projection bucket id for an embedding column.
     * Projections run on floor-quantized integer components (×1000) so the
     * sign is exact integer arithmetic — no float-summation-order drift
-    * between engines. */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val dims = sequence(lit(0), size($"embedding") - 1)
+    * between engines. Shared by a2/a3 and DedupOps.embeddingNearDup. */
+  def srpBucket(embCol: Column): Column = {
+    val dims = sequence(lit(0), size(embCol) - 1)
     val bucketBits = (0 until NPlanes).map { p =>
       val proj = aggregate(dims, lit(0L),
         (acc, i) => acc +
-          floor(element_at($"embedding", (i + 1).cast("int")).cast("double") * 1000).cast("long") *
+          floor(element_at(embCol, (i + 1).cast("int")).cast("double") * 1000).cast("long") *
           planeWeight(i, p).cast("long"))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
+    bucketBits.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[srpBucket]] over a column named `embedding`. */
+  val srpBucketSql: String = (0 until NPlanes).map { p =>
+    s"""CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
+       |  i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000) AS BIGINT) * (((i * 31 + $p * 17 + 7) % 7) - 3))) > 0
+       |  THEN ${1L << p} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  /** a2: sign-random-projection bucket id per vector (the LSH partition
+    * step; search = same hash on the query + a bucket-local scan). */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     emb(s, dir).select(
       $"vec_id",
-      bucketBits.reduce(_ + _).as("bucket"),
+      srpBucket($"embedding").as("bucket"),
       $"label".cast("long").as("label"))
       .orderBy($"vec_id")
   }
 
-  val lshBucketsSql: String = {
-    val bits = (0 until NPlanes).map { p =>
-      s"""CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
-         |  i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000) AS BIGINT) * (((i * 31 + $p * 17 + 7) % 7) - 3))) > 0
-         |  THEN ${1L << p} ELSE 0 END""".stripMargin
-    }.mkString(" + ")
-    s"""SELECT vec_id, ($bits)::BIGINT AS bucket, label::BIGINT AS label
+  val lshBucketsSql: String =
+    s"""SELECT vec_id, ($srpBucketSql)::BIGINT AS bucket, label::BIGINT AS label
        |FROM embeddings ORDER BY vec_id""".stripMargin
-  }
 
   /** a3: bucketed ANN — top-3 cosine neighbors within each query's LSH
     * bucket (the pruned search path; compares against a1 for recall). */
@@ -129,13 +135,8 @@ object AnnOps {
       .orderBy($"query_id", $"rank")
   }
 
-  val lshTopKSql: String = {
-    val bits = (0 until NPlanes).map { p =>
-      s"""CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
-         |  i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000) AS BIGINT) * (((i * 31 + $p * 17 + 7) % 7) - 3))) > 0
-         |  THEN ${1L << p} ELSE 0 END""".stripMargin
-    }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, ($bits)::BIGINT AS bucket FROM embeddings),
+  val lshTopKSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ($srpBucketSql)::BIGINT AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < $NQueries),
        |sims AS (
        |  SELECT q.query_id, b.bucket, b.vec_id AS neighbor_id,
@@ -149,5 +150,68 @@ object AnnOps {
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM sims) WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  val NCentroids = 8
+
+  /** a4: IVF (inverted-file) ANN — the second scale path next to LSH.
+    * Deterministic coarse quantizer: the first NCentroids vectors act as
+    * centroids; every vector is assigned to its max-cosine centroid (tie →
+    * lowest centroid id), giving an inverted list per cell. Search probes
+    * only the query's cell (nprobe=1): centroids broadcast, assignment is
+    * a narrow map stage, and the candidate join shuffles one cell — at
+    * 100 TB the cell assignment is the partition key, so each query
+    * touches ~1/NCentroids of the corpus. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id" < NCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cc".desc, $"cent_id".asc)
+    val cells = e.join(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id",
+        round(dot($"cv", $"embedding") / (norm($"cv") * norm($"embedding")), 6)
+          .as("cc"))
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    val q = cells.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"cell")
+    val joined = cells.join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"cell", $"vec_id".as("neighbor_id"),
+        round(dot($"q", $"embedding") / (norm($"q") * norm($"embedding")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"query_id", $"rank")
   }
+
+  val ivfTopKSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    round(list_dot_product(c.cv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])) *
+       |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cc
+       |  FROM embeddings e, c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn
+       |    FROM assign) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < $NQueries),
+       |sims AS (
+       |  SELECT q.query_id, e.cell, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+       |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+       |  FROM cells e JOIN q ON e.cell = q.cell AND e.vec_id != q.query_id)
+       |SELECT query_id, cell, neighbor_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM sims) WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 }

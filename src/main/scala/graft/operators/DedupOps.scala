@@ -168,4 +168,49 @@ object DedupOps {
       |FROM d l JOIN d r ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
       |WHERE len(list_intersect(l.sh, r.sh)) * 10 >= len(list_distinct(list_concat(l.sh, r.sh)))
       |ORDER BY lang, a, b""".stripMargin
+
+  /** Exact left-to-right double dot product (same accumulation order as
+    * DuckDB's list_dot_product → cross-engine stable to 6 dp). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  val CosineThreshold = 0.40
+
+  /** d5: embedding-cosine near-duplicate pairs — the semantic-dedup path
+    * of the family (exact → minhash → simhash → embedding space).
+    * Candidate generation is SRP-LSH bucketing (AnnOps.srpBucket): only
+    * same-bucket pairs are compared, so the join shuffles one bucket per
+    * partition instead of forming all pairs — at 10^9 docs the candidate
+    * set is ~|corpus|²/2^planes per bucket partition, tunable via NPlanes.
+    * Survivors get the exact cosine; pairs at/above the threshold emit. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id", $"embedding", AnnOps.srpBucket($"embedding").as("bucket"))
+    val l = e.select($"bucket", $"vec_id".as("a"), $"embedding".as("ea"))
+    val r = e.select($"bucket", $"vec_id".as("b"), $"embedding".as("eb"))
+    l.join(r, Seq("bucket")).filter($"a" < $"b")
+      .select($"bucket", $"a", $"b",
+        round(dot($"ea", $"eb") / (norm($"ea") * norm($"eb")), 6).as("cosine"))
+      .filter($"cosine" >= CosineThreshold)
+      .orderBy($"a", $"b")
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, (${AnnOps.srpBucketSql})::BIGINT AS bucket
+       |  FROM embeddings)
+       |SELECT l.bucket AS bucket, l.vec_id AS a, r.vec_id AS b,
+       |  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+       |    (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+       |     sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) AS cosine
+       |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+       |    (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+       |     sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) >= $CosineThreshold
+       |ORDER BY a, b""".stripMargin
 }

@@ -72,6 +72,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.filter(abs(col("cosine")) > 1.000001).count() == 0)
   }
 
+  test("a4: IVF neighbors live in the query's cell and never beat brute force") {
+    val ivf = SparkEntry.queries("a4_ann_ivf_topk")(spark, sf)
+    // rank-1 IVF cosine can't exceed the global brute-force rank-1 cosine
+    // (IVF searches a subset of the corpus)
+    val bruteBest = SparkEntry.queries("a1_ann_brute_topk")(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cosine").as("best"))
+    val viol = ivf.filter(col("rank") === 1)
+      .join(bruteBest, "query_id")
+      .filter(col("cosine") > col("best") + 1e-9).count()
+    assert(viol == 0, "IVF found a better neighbor than brute force")
+    // each query's cell is unique: all its neighbors carry the same cell
+    val cells = ivf.groupBy("query_id")
+      .agg(countDistinct(col("cell")).as("nc")).filter(col("nc") > 1).count()
+    assert(cells == 0)
+  }
+
+  test("d5: embedding near-dup pairs are same-bucket, deduped, above threshold") {
+    val pairs = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+    assert(pairs.filter(col("cosine") < graft.operators.DedupOps.CosineThreshold).count() == 0)
+    assert(pairs.filter(col("a") >= col("b")).count() == 0, "unordered or self pair")
+    val buckets = SparkEntry.queries("a2_ann_lsh_buckets")(spark, sf)
+      .select(col("vec_id"), col("bucket").as("vb"))
+    val cross = pairs.join(buckets, pairs("a") === buckets("vec_id"))
+      .filter(col("bucket") =!= col("vb")).count()
+    assert(cross == 0, "pair bucket disagrees with member bucket")
+  }
+
   test("m2: frame digests are stable and stride-spaced") {
     val df = SparkEntry.queries("m2_frame_sample")(spark, sf)
     val bad = df.filter(pmod(col("frame_no"), lit(4)) =!= 0).count()

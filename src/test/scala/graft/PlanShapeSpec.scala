@@ -61,6 +61,22 @@ class PlanShapeSpec extends AnyFunSuite {
       ("a.com", "/private/open/y"), ("a.com", "/"), ("b.com", "/anything")))
   }
 
+  test("a4 IVF plan broadcasts both the centroid table and the query set") {
+    val plan = graft.operators.AnnOps.ivfTopK(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // both small sides are hinted broadcast — the big vector table never
+    // shuffles for the joins (only for the per-vector window)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast in IVF plan:\n${plan.take(3000)}")
+  }
+
+  test("d5 near-dup self-join shuffles on the LSH bucket key, not all pairs") {
+    val df = graft.operators.DedupOps.embeddingNearDup(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs product in near-dup plan:\n${plan.take(3000)}")
+  }
+
   test("fetch join broadcasts the small frontier side when hinted") {
     import spark.implicits._
     val docs = (0 until 1000).map(i => (s"http://h/$i", i)).toDF("doc_id", "x")
