@@ -96,6 +96,30 @@ object UrlExpressions {
     override protected def withNewChildInternal(c: Expression): UrlHost = copy(c)
   }
 
+  /** `might_contain_long(hash)` — probe of a broadcast approximate-
+    * membership filter (bloom or cuckoo), as a native expression so the
+    * probe stays inside whole-stage codegen. The Scala-UDF alternative
+    * boxes every hash and breaks the codegen span around the dedup
+    * prefilter — the hottest path of the engine (SURVEY §2.3 D3). */
+  case class MightContainLong(
+      child: Expression,
+      set: org.apache.spark.broadcast.Broadcast[LongMembership])
+    extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any = set.value.mightContain(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("membershipBc", set,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ((graft.functions.LongMembership)$ref.value()).mightContain($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): MightContainLong = copy(child = c)
+  }
+
+  def might_contain_long(c: Column,
+      set: org.apache.spark.broadcast.Broadcast[LongMembership]): Column =
+    column(MightContainLong(expression(c), set))
+
   // Column-level API
   def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))
   def resolve_url(base: Column, href: Column): Column =

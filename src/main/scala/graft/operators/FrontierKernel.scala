@@ -43,11 +43,14 @@ object FrontierKernel {
       1L << 50, numPartitions).persist()
     val scheduled = fetchSet.count()
 
-    // 3. dedup: bloom prefilter + exact anti-join of bloom-positives
-    val bfB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    val fresh = fetchSet.filter(!mightContain(col("url_hash")))
-    val maybe = fetchSet.filter(mightContain(col("url_hash")))
+    // 3. dedup: bloom prefilter + exact anti-join of bloom-positives —
+    // the probe is a native codegen expression, not a UDF (no per-row
+    // boxing; the filter stays inside the whole-stage codegen span)
+    val bfB = spark.sparkContext.broadcast(
+      graft.functions.LongMembership.Bloom(bloom): graft.functions.LongMembership)
+    val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
+    val fresh = fetchSet.filter(!mightContain)
+    val maybe = fetchSet.filter(mightContain)
     val confirmed = maybe.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
     val newUrls = fresh.unionByName(confirmed)
 

@@ -42,17 +42,10 @@ object CrawlJob {
       bloomFpp: Double = 0.01,
       seenFilter: String = "bloom") // "bloom" | "cuckoo" (north_rule names both)
 
-  /** Broadcastable approximate-membership prefilter: bloom (default) or
-    * cuckoo (deletion-capable; see graft.functions.CuckooFilterImpl). */
-  private sealed trait Prefilter extends Serializable {
-    def mightContain(h: Long): Boolean
-  }
-  private final case class BloomPre(bf: BloomFilter) extends Prefilter {
-    def mightContain(h: Long): Boolean = bf.mightContainLong(h)
-  }
-  private final case class CuckooPre(cf: graft.functions.CuckooFilterImpl) extends Prefilter {
-    def mightContain(h: Long): Boolean = cf.mightContain(h)
-  }
+  // Broadcastable approximate-membership prefilter: bloom (default) or
+  // cuckoo (deletion-capable) — graft.functions.LongMembership, probed by
+  // the codegen MightContainLong expression.
+  private type Prefilter = graft.functions.LongMembership
 
   final case class Tables(
       frontier: IceLite.Table,
@@ -152,7 +145,9 @@ object CrawlJob {
       val frontier = t.frontier.readOr(spark.emptyDataset[FrontierEntry].toDF())
       if (t.frontier.isEmpty) { done = true }
       else {
-        val pre: Prefilter = if (useCuckoo) CuckooPre(cuckoo) else BloomPre(bloom)
+        val pre: Prefilter =
+          if (useCuckoo) graft.functions.LongMembership.Cuckoo(cuckoo)
+          else graft.functions.LongMembership.Bloom(bloom)
         val (m, nextSize, newBloom, newCuckoo, newPiece) =
           runWave(spark, t, docsDf, rules, cfg, wave, frontier, frontierSize,
             pre, seenHashes, seedHosts)
@@ -269,11 +264,12 @@ object CrawlJob {
     mark("winners_agg")
 
     // bloom prefilter: bloom-negative rows are provably unseen and skip
-    // the anti-join; bloom-positive rows get exact confirmation.
+    // the anti-join; bloom-positive rows get exact confirmation. The probe
+    // is a native codegen expression (no UDF boxing in the hot path).
     val bfB = spark.sparkContext.broadcast(pre)
-    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
-    val fresh = winners.filter(!mightContain(col("url_hash")))
-    val maybe = winners.filter(mightContain(col("url_hash")))
+    val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
+    val fresh = winners.filter(!mightContain)
+    val maybe = winners.filter(mightContain)
     val confirmed = maybe.join(seenHashes, Seq("url_hash"), "left_anti")
     // --- robots compiled to a Catalyst predicate (O8) --------------------
     val path = coalesce(nullif(parse_url(col("cand"), lit("PATH")), lit("")), lit("/"))
