@@ -75,8 +75,7 @@ object SparkEntry {
     "t5_fingerprint" -> TextOps.fingerprintSql,
     "d1_minhash_signature" -> DedupOps.minhashSignatureSql,
     "d2_minhash_lsh_pairs" -> DedupOps.minhashLshPairsSql,
-    // d3_simhash: 64-bit bit-vote fingerprint has no faithful DuckDB
-    // twin — driver records the weaker rows-only check for it.
+    "d3_simhash" -> DedupOps.simhashSql,
     "d4_ngram_jaccard" -> DedupOps.ngramJaccardPairsSql,
     "d5_embedding_neardup" -> DedupOps.embeddingNearDupSql,
     "a1_ann_brute_topk" -> AnnOps.bruteForceTopKSql,

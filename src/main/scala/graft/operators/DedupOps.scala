@@ -136,6 +136,29 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** DuckDB twin of [[simhash]]: the per-token 64-bit value is
+    * `('0x' || md5-prefix)::BIGINT` (== Spark's `conv(…,16,10)` for the
+    * 15-hex-char prefix, 60 bits, no sign), and the majority vote is the
+    * same ±1 list_sum per bit. */
+  val simhashSql: String = {
+    val bits = (0 until 60).map { j =>
+      s"CASE WHEN list_sum(list_transform(tb, v -> CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_transform(toks, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS tb
+       |  FROM d),
+       |s AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM h)
+       |SELECT doc_id, simhash,
+       |  simhash & 32767 AS band0,
+       |  (simhash >> 15) & 32767 AS band1,
+       |  (simhash >> 30) & 32767 AS band2,
+       |  (simhash >> 45) & 32767 AS band3
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** n-gram Jaccard within same-lang blocks (blocked all-pairs — blocks
     * bound the quadratic term; LSH above is the no-block path). Integer
     * outputs only: inter, union, and a jaccard≥0.3 flag via cross-multiply. */
