@@ -39,12 +39,15 @@ object AnnOps {
     * break by neighbor id. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
+    // norms are per-vector, computed ONCE before the pair join (O(n)) —
+    // inlining norm(...) into the cosine would recompute it per pair
+    // (O(n·q)); sqrt(dot(v,v)) is bit-identical either way
+    val e = emb(s, dir).withColumn("nrm", norm($"embedding"))
     val q = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"))
     val joined = e.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        round(dot($"q", $"embedding") / (norm($"q") * norm($"embedding")), 6)
+        round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6)
           .as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -120,13 +123,13 @@ object AnnOps {
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = lshBuckets(s, dir).select($"vec_id", $"bucket")
-    val e = emb(s, dir).join(b, "vec_id")
+    val e = emb(s, dir).join(b, "vec_id").withColumn("nrm", norm($"embedding"))
     val q = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"), $"bucket")
     val joined = e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
-        round(dot($"q", $"embedding") / (norm($"q") * norm($"embedding")), 6)
+        round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6)
           .as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
@@ -163,23 +166,23 @@ object AnnOps {
     * touches ~1/NCentroids of the corpus. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
+    val e = emb(s, dir).withColumn("nrm", norm($"embedding"))
     val cents = e.filter($"vec_id" < NCentroids)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cnrm"))
     val wAssign = Window.partitionBy($"vec_id")
       .orderBy($"cc".desc, $"cent_id".asc)
     val cells = e.join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cent_id",
-        round(dot($"cv", $"embedding") / (norm($"cv") * norm($"embedding")), 6)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id",
+        round(dot($"cv", $"embedding") / ($"cnrm" * $"nrm"), 6)
           .as("cc"))
       .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell"))
     val q = cells.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"cell")
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"), $"cell")
     val joined = cells.join(broadcast(q), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"cell", $"vec_id".as("neighbor_id"),
-        round(dot($"q", $"embedding") / (norm($"q") * norm($"embedding")), 6)
+        round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6)
           .as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)

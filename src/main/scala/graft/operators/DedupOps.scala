@@ -222,12 +222,13 @@ object DedupOps {
     import s.implicits._
     val e = s.read.parquet(s"$dir/embeddings.parquet")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"vec_id", $"embedding", AnnOps.srpBucket($"embedding").as("bucket"))
-    val l = e.select($"bucket", $"vec_id".as("a"), $"embedding".as("ea"))
-    val r = e.select($"bucket", $"vec_id".as("b"), $"embedding".as("eb"))
+      .select($"vec_id", $"embedding", AnnOps.srpBucket($"embedding").as("bucket"),
+        norm($"embedding").as("nrm")) // per-vector, once — not per pair
+    val l = e.select($"bucket", $"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val r = e.select($"bucket", $"vec_id".as("b"), $"embedding".as("eb"), $"nrm".as("nb"))
     l.join(r, Seq("bucket")).filter($"a" < $"b")
       .select($"bucket", $"a", $"b",
-        round(dot($"ea", $"eb") / (norm($"ea") * norm($"eb")), 6).as("cosine"))
+        round(dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("cosine"))
       .filter($"cosine" >= CosineThreshold)
       .orderBy($"a", $"b")
   }
