@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *     --docs <parquet path|synth:<hosts>x<pages>> --state <state root> \
   *     --seed <url> [--seed <url> ...] [--on-domain] [--host-budget N]
   *     [--max-waves N] [--partitions N] [--emit-visit-order]
+  *     [--robots <parquet of (host,path_prefix,allow,crawl_delay)>]
   *
   * Validation mirrors the handler: invalid seed → exit 400-style error;
   * the job itself runs to completion (or resumes from the state root's
@@ -28,6 +29,7 @@ object CrawlMain {
     var maxWaves = 64
     var partitions = 32
     var emitOrder = false
+    var robotsPath = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -39,6 +41,7 @@ object CrawlMain {
         case "--max-waves" => maxWaves = args(i + 1).toInt; i += 2
         case "--partitions" => partitions = args(i + 1).toInt; i += 2
         case "--emit-visit-order" => emitOrder = true; i += 1
+        case "--robots" => robotsPath = args(i + 1); i += 2
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
     }
@@ -60,16 +63,26 @@ object CrawlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs =
+    val (docs, defaultRules) =
       if (docsPath.startsWith("synth:")) {
         val Array(h, p) = docsPath.stripPrefix("synth:").split("x")
+        val cfg = Corpus.Config(nHosts = h.toInt, pagesPerHost = p.toInt)
         import spark.implicits._
-        spark.createDataset(Corpus.generate(
-          Corpus.Config(nHosts = h.toInt, pagesPerHost = p.toInt))).toDF()
-      } else spark.read.parquet(docsPath)
+        (spark.createDataset(Corpus.generate(cfg)).toDF(), Corpus.robotsRules(cfg))
+      } else (spark.read.parquet(docsPath), Seq.empty[graft.model.RobotsRule])
 
-    val metrics = CrawlJob.run(spark, docs,
-      Corpus.robotsRules(Corpus.Config()), // TODO: --robots <table path>
+    // robots: an explicit rules table wins; synth corpora default to their
+    // own generated rules; plain parquet corpora default to allow-all
+    val rules =
+      if (robotsPath.isEmpty) defaultRules
+      else {
+        import spark.implicits._
+        spark.read.parquet(robotsPath)
+          .select(col("host"), col("path_prefix"), col("allow"), col("crawl_delay"))
+          .as[graft.model.RobotsRule].collect().toSeq
+      }
+
+    val metrics = CrawlJob.run(spark, docs, rules,
       CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves, partitions), state)
 
     metrics.foreach(m => println(
