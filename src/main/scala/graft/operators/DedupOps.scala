@@ -38,36 +38,66 @@ object DedupOps {
   val NumHashes = 8
   val Bands = 4 // 2 rows per band
 
-  /** MinHash signature: h_k(doc) = min over shingles of md5(k || shingle).
-    * One row per doc, signature as array<string> (md5-prefix per seed). */
-  /** Signature over a pre-materialized shingle-array column: the shingle
-    * construction (split/slice/concat) runs once per row, not once per
-    * hash function — Catalyst substitutes a shared expression tree into
-    * every consumer, so the array must cross a projection boundary. */
-  private def sigOver(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(sh,
-        x => md5(concat(k.cast("string"), lit("|"), x)))))
+  /** MinHash signature: h_k(doc) = min over shingles of the k-th affine
+    * transform of the shingle's md5-derived 60-bit hash (one-hash MinHash).
+    * One row per doc, signature as a CSV of NumHashes integers. */
+  // One-hash MinHash: md5 runs ONCE per shingle; the NumHashes "random
+  // permutations" are affine transforms of that single 60-bit value —
+  // h_k(u) = (a_k * (u & 2^30-1) + b_k) mod P. The a_k/b_k stay < 2^31 so
+  // every product fits in 62 bits (no BIGINT overflow in DuckDB, no wrap
+  // divergence in Spark). 8× less hashing than md5-per-(k, shingle) —
+  // the dominant cost of minhash at corpus scale.
+  private val MinhashP = 1073741789L // largest prime < 2^30
+  private val MinhashMask = 0x3FFFFFFFL // 2^30 - 1
+  private def affineA(k: Int): Long = 2L * (k * 40503L + 1234577L) + 1L // odd
+  private def affineB(k: Int): Long = k * 9176L + 281L
+
+  /** Per-shingle base hash: 60-bit integer from the md5 hex prefix
+    * (cross-engine: DuckDB ('0x' || prefix)::BIGINT == Spark conv). */
+  private def shingleHash(sh: Column): Column =
+    transform(sh, x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+
+  /** Signature over a pre-materialized base-hash array column: Catalyst
+    * substitutes a shared expression tree into every consumer, so the
+    * md5 array must cross a projection boundary before the k transforms. */
+  private def sigOver(hs: Column): Column =
+    array((0 until NumHashes).map { k =>
+      array_min(transform(hs,
+        u => (u.bitwiseAND(lit(MinhashMask)) * lit(affineA(k)) + lit(affineB(k)))
+          % lit(MinhashP)))
+    }: _*)
 
   def minhashSignature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select($"doc_id", shingles($"text").as("sh"))
-      .select($"doc_id", concat_ws(",", sigOver($"sh")).as("sig"))
+      .select($"doc_id", shingleHash(shingles($"text")).as("hs"))
+      .select($"doc_id",
+        concat_ws(",", transform(sigOver($"hs"), v => v.cast("string"))).as("sig"))
       .orderBy($"doc_id")
   }
 
-  val minhashSignatureSql: String =
-    """WITH sh AS (
+  private val shinglesSqlCte: String =
+    """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
-      |  FROM documents)
-      |SELECT doc_id,
-      |  array_to_string(list_transform(generate_series(0, 7),
-      |    k -> list_min(list_transform(shingles, s -> md5(k || '|' || s)))), ',') AS sig
-      |FROM sh ORDER BY doc_id""".stripMargin
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(shingles,
+      |      x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hv
+      |  FROM sh)""".stripMargin
+
+  private def minhashKSql: String = (0 until NumHashes).map { k =>
+    s"list_min(list_transform(hv, u -> ((u & $MinhashMask) * ${affineA(k)} + ${affineB(k)}) % $MinhashP))"
+  }.mkString("[", ", ", "]")
+
+  val minhashSignatureSql: String =
+    s"""WITH $shinglesSqlCte
+       |SELECT doc_id,
+       |  array_to_string(list_transform($minhashKSql, v -> v::VARCHAR), ',') AS sig
+       |FROM hs ORDER BY doc_id""".stripMargin
 
   /** MinHash-LSH candidate pairs: band the signature (4 bands × 2 hashes),
     * bucket-join on (band, band_key), emit distinct candidate pairs.
@@ -77,10 +107,13 @@ object DedupOps {
     import s.implicits._
     val banded = docs(s, dir)
       .select($"doc_id", shingles($"text").as("sh"))
-      .select($"doc_id", sigOver($"sh").as("sig"), $"sh")
+      .select($"doc_id", $"sh", shingleHash($"sh").as("hs"))
+      .select($"doc_id", $"sh", sigOver($"hs").as("sig"))
       .select($"doc_id", $"sh", posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * (NumHashes / Bands) + 1, lit(NumHashes / Bands)))))))
+        b => md5(concat_ws("|", transform(
+          slice(col("sig"), b * (NumHashes / Bands) + 1, lit(NumHashes / Bands)),
+          v => v.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val l = banded.select($"doc_id".as("a"), $"sh".as("sh_a"), $"band", $"band_key")
     val r = banded.select($"doc_id".as("b"), $"sh".as("sh_b"), $"band", $"band_key")
@@ -94,27 +127,21 @@ object DedupOps {
   }
 
   val minhashLshPairsSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(
-      |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
-      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
-      |  FROM documents),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(generate_series(0, 7),
-      |      k -> list_min(list_transform(shingles, s -> md5(k || '|' || s)))) AS sg
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, shingles, b.band AS band,
-      |    md5(array_to_string(sg[(b.band * 2 + 1):(b.band * 2 + 2)], '|')) AS band_key
-      |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b)
-      |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-      |  len(list_intersect(l.shingles, r.shingles)) AS inter,
-      |  len(list_distinct(list_concat(l.shingles, r.shingles))) AS uni
-      |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
-      |WHERE l.doc_id < r.doc_id
-      |ORDER BY a, b""".stripMargin
+    s"""WITH $shinglesSqlCte,
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform($minhashKSql, v -> v::VARCHAR) AS sg
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, shingles, b.band AS band,
+       |    md5(array_to_string(sg[(b.band * 2 + 1):(b.band * 2 + 2)], '|')) AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |  len(list_intersect(l.shingles, r.shingles)) AS inter,
+       |  len(list_distinct(list_concat(l.shingles, r.shingles))) AS uni
+       |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+       |WHERE l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
 
   /** SimHash-64: per token, md5 → first 16 hex chars → 64 bits; bit j of
     * the fingerprint = majority vote over tokens. Emitted as 4× 16-bit
