@@ -103,25 +103,29 @@ object DedupOps {
     * bucket-join on (band, band_key), emit distinct candidate pairs.
     * Verified Jaccard (on the true shingle sets) is attached so callers
     * can threshold. */
+  /** Candidate rows carry the HASHED shingle set (8-byte longs), not the
+    * shingle strings — the band join shuffles ~2.5× less and the Jaccard
+    * set ops compare longs. Counts are identical (the 60-bit hash is
+    * injective up to ~2^-61-probability collisions, applied identically
+    * in the DuckDB twin). */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val banded = docs(s, dir)
-      .select($"doc_id", shingles($"text").as("sh"))
-      .select($"doc_id", $"sh", shingleHash($"sh").as("hs"))
-      .select($"doc_id", $"sh", sigOver($"hs").as("sig"))
-      .select($"doc_id", $"sh", posexplode(transform(
+      .select($"doc_id", shingleHash(shingles($"text")).as("hs"))
+      .select($"doc_id", $"hs", sigOver($"hs").as("sig"))
+      .select($"doc_id", $"hs", posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
         b => md5(concat_ws("|", transform(
           slice(col("sig"), b * (NumHashes / Bands) + 1, lit(NumHashes / Bands)),
           v => v.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val l = banded.select($"doc_id".as("a"), $"sh".as("sh_a"), $"band", $"band_key")
-    val r = banded.select($"doc_id".as("b"), $"sh".as("sh_b"), $"band", $"band_key")
+    val l = banded.select($"doc_id".as("a"), $"hs".as("hs_a"), $"band", $"band_key")
+    val r = banded.select($"doc_id".as("b"), $"hs".as("hs_b"), $"band", $"band_key")
     l.join(r, Seq("band", "band_key"))
       .filter($"a" < $"b")
       .select($"a", $"b",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
-        size(array_union($"sh_a", $"sh_b")).cast("long").as("uni"))
+        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("inter"),
+        size(array_union($"hs_a", $"hs_b")).cast("long").as("uni"))
       .distinct()
       .orderBy($"a", $"b")
   }
@@ -129,16 +133,16 @@ object DedupOps {
   val minhashLshPairsSql: String =
     s"""WITH $shinglesSqlCte,
        |sig AS (
-       |  SELECT doc_id, shingles,
+       |  SELECT doc_id, hv,
        |    list_transform($minhashKSql, v -> v::VARCHAR) AS sg
        |  FROM hs),
        |banded AS (
-       |  SELECT doc_id, shingles, b.band AS band,
+       |  SELECT doc_id, hv, b.band AS band,
        |    md5(array_to_string(sg[(b.band * 2 + 1):(b.band * 2 + 2)], '|')) AS band_key
        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b)
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-       |  len(list_intersect(l.shingles, r.shingles)) AS inter,
-       |  len(list_distinct(list_concat(l.shingles, r.shingles))) AS uni
+       |  len(list_intersect(l.hv, r.hv)) AS inter,
+       |  len(list_distinct(list_concat(l.hv, r.hv))) AS uni
        |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
        |WHERE l.doc_id < r.doc_id
        |ORDER BY a, b""".stripMargin
@@ -201,15 +205,17 @@ object DedupOps {
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // blocking key = (lang, length-bucket): near-dups have near-equal
-    // length, so blocks bound the quadratic term without losing them
+    // length, so blocks bound the quadratic term without losing them.
+    // Shingle sets travel hashed (longs) — cheaper shuffle + set ops.
     val d = docs(s, dir).select($"doc_id", $"lang",
-      (length($"text") / 100).cast("int").as("lb"), shingles($"text").as("sh"))
-    val l = d.select($"lang", $"lb", $"doc_id".as("a"), $"sh".as("sh_a"))
-    val r = d.select($"lang", $"lb", $"doc_id".as("b"), $"sh".as("sh_b"))
+      (length($"text") / 100).cast("int").as("lb"),
+      shingleHash(shingles($"text")).as("hs"))
+    val l = d.select($"lang", $"lb", $"doc_id".as("a"), $"hs".as("hs_a"))
+    val r = d.select($"lang", $"lb", $"doc_id".as("b"), $"hs".as("hs_b"))
     l.join(r, Seq("lang", "lb")).filter($"a" < $"b")
       .select($"lang", $"a", $"b",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
-        size(array_union($"sh_a", $"sh_b")).cast("long").as("uni"))
+        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("inter"),
+        size(array_union($"hs_a", $"hs_b")).cast("long").as("uni"))
       .filter($"inter" * 10 >= $"uni" * 1) // keep pairs with jaccard >= 0.1
       .orderBy($"lang", $"a", $"b")
   }
@@ -217,15 +223,17 @@ object DedupOps {
   val ngramJaccardPairsSql: String =
     """WITH d AS (
       |  SELECT doc_id, lang, CAST(length(text) // 100 AS INT) AS lb,
-      |    list_distinct(list_transform(
-      |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
-      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+      |    list_transform(
+      |      list_distinct(list_transform(
+      |        generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+      |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))),
+      |      x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hv
       |  FROM documents)
       |SELECT l.lang AS lang, l.doc_id AS a, r.doc_id AS b,
-      |  len(list_intersect(l.sh, r.sh)) AS inter,
-      |  len(list_distinct(list_concat(l.sh, r.sh))) AS uni
+      |  len(list_intersect(l.hv, r.hv)) AS inter,
+      |  len(list_distinct(list_concat(l.hv, r.hv))) AS uni
       |FROM d l JOIN d r ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
-      |WHERE len(list_intersect(l.sh, r.sh)) * 10 >= len(list_distinct(list_concat(l.sh, r.sh)))
+      |WHERE len(list_intersect(l.hv, r.hv)) * 10 >= len(list_distinct(list_concat(l.hv, r.hv)))
       |ORDER BY lang, a, b""".stripMargin
 
   /** Exact left-to-right double dot product (same accumulation order as
