@@ -68,8 +68,16 @@ object CrawlMain {
         val Array(h, p) = docsPath.stripPrefix("synth:").split("x")
         val cfg = Corpus.Config(nHosts = h.toInt, pagesPerHost = p.toInt)
         import spark.implicits._
-        (spark.createDataset(Corpus.generate(cfg)).toDF(), Corpus.robotsRules(cfg))
+        // repartition off the driver-side LocalTableScan: without it every
+        // job of every wave re-serializes the whole corpus into tasks
+        (spark.createDataset(Corpus.generate(cfg)).toDF()
+          .repartition(partitions), Corpus.robotsRules(cfg))
       } else (spark.read.parquet(docsPath), Seq.empty[graft.model.RobotsRule])
+
+    // the corpus is the simulated web (S2): resident, like a warm page
+    // cache — the fetch join reads it every wave
+    docs.persist()
+    docs.count()
 
     // robots: an explicit rules table wins; synth corpora default to their
     // own generated rules; plain parquet corpora default to allow-all
