@@ -5,10 +5,16 @@ import graft.functions.UrlOps
 import graft.model._
 import graft.operators.{DocExtract, Politeness, Ranker, Robots}
 import graft.sources.IceLite
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.util.sketch.BloomFilter
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 /** The Spark-native crawl engine: an iterative BSP wave loop over IceLite
   * tables, replaying the reference's BFS-with-priority traversal exactly
@@ -46,6 +52,18 @@ object CrawlJob {
   // cuckoo (deletion-capable) — graft.functions.LongMembership, probed by
   // the codegen MightContainLong expression.
   private type Prefilter = graft.functions.LongMembership
+
+  /** `bloom_filter_agg` as a Column, sized exactly like
+    * `BloomFilter.create(items, fpp)` so per-wave filters stay mergeable
+    * with the resume-time `stat.bloomFilter` build. Riding the aggregate
+    * on the seen write's `observe` makes the wave bloom FREE — the
+    * standalone `stat.bloomFilter` pass it replaces cost a full extra
+    * job over the wave's new URLs. */
+  private def bloomAgg(c: Column, items: Long, fpp: Double): Column = {
+    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
+    GraftShim.column(new BloomFilterAggregate(GraftShim.expression(c),
+      Literal(items), Literal(numBits)).toAggregateExpression())
+  }
 
   final case class Tables(
       frontier: IceLite.Table,
@@ -208,7 +226,9 @@ object CrawlJob {
       .persist()
     val hits = joined.filter(col("doc_id").isNotNull)
 
-    // visits: every scheduled fetch consumes a rank, misses included
+    // visits: every scheduled fetch consumes a rank, misses included.
+    // This write runs first, synchronously: it materializes the fetchSet
+    // cache every later consumer reads.
     val obsVisits = Observation(s"visits$wave")
     t.visits.append(
       fetchSet.select(col("ord"), lit(wave).as("wave"), col("url"), col("depth"))
@@ -218,14 +238,19 @@ object CrawlJob {
     mark("visits_write")
 
     // --- extraction sinks (two-sink fan-out from one cached wave) -------
+    // The doc sinks don't feed the frontier update, so they run as a
+    // concurrent Spark job while the main thread expands links — the wave
+    // wall pays max(sinks, expansion), not the sum. Crash-consistency is
+    // unaffected: the frontier replace (the wave's commit marker) still
+    // lands last, after the await below.
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val obsDocs = Observation(s"docs$wave")
-    t.docs.append(
-      DocExtract.extract(hits, "url", "spans").observe(obsDocs, count(lit(1)).as("n")),
-      Map("wave" -> wave.toLong))
-    t.docsFlat.append(DocExtract.extractFlat(hits, "url", "spans"), Map("wave" -> wave.toLong))
-    val nHits = obsDocs.get("n").asInstanceOf[Long]
-    mark("docs_writes")
-    val nMiss = nFetch - nHits
+    val docSinks: Future[Unit] = Future {
+      t.docs.append(
+        DocExtract.extract(hits, "url", "spans").observe(obsDocs, count(lit(1)).as("n")),
+        Map("wave" -> wave.toLong))
+      t.docsFlat.append(DocExtract.extractFlat(hits, "url", "spans"), Map("wave" -> wave.toLong))
+    }
     val nDeferred = frontierSize - nFetch
 
     // --- link expansion → candidates (A-span posexplode, O5/O6/O7) ------
@@ -279,23 +304,32 @@ object CrawlJob {
       .withColumn("__allowed", allowed)
       .persist()
 
-    // seen append carries the dedup/robots counters via observe
+    // seen append carries the dedup/robots counters AND the wave's bloom
+    // filter via observe — no standalone bloom job (it was a full extra
+    // pass over the wave's new URLs)
     val obsSeen = Observation(s"seen$wave")
     t.seen.append(
       newSeen
         .observe(obsSeen, count(lit(1)).as("n"),
-          sum(when(col("__allowed"), 1L).otherwise(0L)).as("adm"))
+          sum(when(col("__allowed"), 1L).otherwise(0L)).as("adm"),
+          bloomAgg(col("url_hash"), cfg.bloomItems, cfg.bloomFpp).as("bf"))
         .select(col("url_hash"), col("cand").as("url"), lit(wave + 1).as("wave")),
       Map("wave" -> wave.toLong))
     val nNewSeen = obsSeen.get("n").asInstanceOf[Long]
     val nAdmitted = Option(obsSeen.get("adm")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val waveBloomBytes = obsSeen.get("bf").asInstanceOf[Array[Byte]]
     val nDedup = nCand - nNewSeen
     mark("seen_write")
     val nRobots = nNewSeen - nAdmitted
     val admitted = newSeen.filter(col("__allowed"))
 
     // --- commit state (atomic IceLite snapshots; parquet round-trip
-    //     truncates lineage across waves) --------------------------------
+    //     truncates lineage across waves). The doc sinks must be durable
+    //     before the frontier commit marker lands. -----------------------
+    Await.result(docSinks, Duration.Inf)
+    val nHits = obsDocs.get("n").asInstanceOf[Long]
+    val nMiss = nFetch - nHits
+    mark("docs_await")
     val nextFrontier = deferred0.unionByName(
       admitted.select(col("cand").as("url"), col("url_hash"), col("host"),
         col("depth"), col("parent_ord"), col("link_index")))
@@ -311,11 +345,12 @@ object CrawlJob {
     t.metrics.append(Seq(metrics).toDF().coalesce(1), Map("wave" -> wave.toLong))
     mark("frontier_commit")
 
-    // wave-local filter of the new hashes, merged by the caller
+    // wave-local filter of the new hashes, merged by the caller — the
+    // bloom came back with the seen write's observed metrics
     val useCuckoo = cfg.seenFilter == "cuckoo"
     val waveBloom =
-      if (nNewSeen == 0 || useCuckoo) null
-      else newSeen.stat.bloomFilter("url_hash", cfg.bloomItems, cfg.bloomFpp)
+      if (nNewSeen == 0 || useCuckoo || waveBloomBytes == null) null
+      else BloomFilter.readFrom(waveBloomBytes)
     val waveCuckoo =
       if (nNewSeen == 0 || !useCuckoo) null
       else {
