@@ -271,6 +271,10 @@ object CrawlJob {
     // --- within-wave first-wins + cross-wave dedup (D2/D3) --------------
     // grp_n (candidates folded into each winner) makes the group-agg carry
     // the dedup accounting, so no standalone count over `cands` is needed.
+    // The candidate total rides an observe UNDER the persist: metrics fire
+    // exactly once, while the seen-write job populates the cache — no
+    // standalone materialization barrier for the winners pipeline.
+    val obsWinners = Observation(s"winners$wave")
     val winners = cands
       .groupBy(col("cand"))
       .agg(min(struct(col("parent_ord"), col("link_index"), col("depth"))).as("w"),
@@ -281,12 +285,9 @@ object CrawlJob {
         (col("w").getField("depth") + 1).as("depth"),
         xxhash64(col("cand")).as("url_hash"),
         col("grp_n"))
+      .observe(obsWinners, sum(col("grp_n")).as("n_cand"))
       .persist()
-    // eager materialization: the bloom-split below consumes winners twice;
-    // caching first keeps the candidate pipeline single-execution.
-    val wAgg = winners.agg(sum(col("grp_n"))).head()
-    val nCand = if (wAgg.isNullAt(0)) 0L else wAgg.getLong(0)
-    mark("winners_agg")
+    mark("winners_plan")
 
     // bloom prefilter: bloom-negative rows are provably unseen and skip
     // the anti-join; bloom-positive rows get exact confirmation. The probe
@@ -318,6 +319,8 @@ object CrawlJob {
     val nNewSeen = obsSeen.get("n").asInstanceOf[Long]
     val nAdmitted = Option(obsSeen.get("adm")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val waveBloomBytes = obsSeen.get("bf").asInstanceOf[Array[Byte]]
+    // the winners metric landed while the seen write populated the cache
+    val nCand = Option(obsWinners.get("n_cand")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val nDedup = nCand - nNewSeen
     mark("seen_write")
     val nRobots = nNewSeen - nAdmitted
