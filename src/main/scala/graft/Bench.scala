@@ -80,8 +80,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // 64M rows/pass: below ~64M the 32-thread configuration can't amortize
+    // per-stage fixed latency (measured crossover, BENCH.md) and the
+    // headline under-reports the engine by ~30%
     val kernelN = sys.env.getOrElse("SPARK_GRAFT_KERNEL_N",
-      if (sfDir.contains("0.1")) "32000000" else "2000000").toLong
+      if (sfDir.contains("0.1")) "64000000" else "2000000").toLong
     // the scaling comparison needs enough work per rep for 32 threads to
     // amortize fixed stage latency — measured crossover is ~64M rows
     val scalingN = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "64000000").toLong
