@@ -2,6 +2,7 @@ package graft
 
 import graft.model.RobotsRule
 import graft.operators.FrontierKernel
+import graft.plans.SeenState
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,8 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Frontier shape mirrors the 10^10 design point scaled down: 30% of URLs
   * on one hot host (skew), the rest across 1000 hosts; the pre-seeded
-  * seen set overlaps 25% of the frontier (dedup hits); robots rules block
-  * a subtree on every 4th host.
+  * seen set overlaps 25% of the frontier (dedup hits) and can be grown
+  * to many times the frontier (`seenFactor`) to prove the bucketed seen
+  * state has no throughput cliff when seen ≫ frontier; robots rules
+  * block a subtree on every 4th host.
   */
 object BenchKernelRunner {
 
@@ -30,9 +33,19 @@ object BenchKernelRunner {
       .drop("id")
   }
 
-  /** seen set overlapping 25% of the frontier ids. */
-  def seenDf(spark: SparkSession, n: Long, parts: Int): DataFrame =
-    frontierDf(spark, n / 4, parts).select("url_hash")
+  /** Seen hashes: n/4 overlapping the frontier (25% dedup hits), plus
+    * disjoint filler up to `seenFactor × n` total (seen ≫ frontier is the
+    * 10^10 regime: a mature crawl's seen set dwarfs any one wave). */
+  def seenDf(spark: SparkSession, n: Long, parts: Int,
+      seenFactor: Double = 0.25): DataFrame = {
+    val overlap = frontierDf(spark, n / 4, parts).select("url_hash")
+    val extra = math.max(0L, (n * seenFactor).toLong - n / 4)
+    if (extra == 0L) overlap
+    else overlap.unionByName(
+      spark.range(n, n + extra, 1, parts)
+        .select(xxhash64(concat(lit("http://hx.example.org/q/"), col("id")))
+          .as("url_hash")))
+  }
 
   def benchRules: Seq[RobotsRule] =
     (0 until 16).map { h =>
@@ -41,19 +54,24 @@ object BenchKernelRunner {
     }
 
   /** One kernel pass; returns (wallSec, urlsProcessed = scheduled+deduped).
-    * Inputs are materialized (persisted) outside the clock. */
-  def run(spark: SparkSession, n: Long, cpus: Int): (Double, Long) = {
+    * Inputs AND the seen-state bootstrap (bucket pieces + filters) are
+    * materialized outside the clock — they are amortized crawl state. */
+  def run(spark: SparkSession, n: Long, cpus: Int,
+      seenFactor: Double = 0.25): (Double, Long) = {
     val parts = cpus * 2
     val frontier = frontierDf(spark, n, parts).persist()
-    val seen = seenDf(spark, n, parts).persist()
-    frontier.count(); seen.count()
-    val bloom = seen.stat.bloomFilter("url_hash", math.max(n / 2, 1000L), 0.01)
+    frontier.count()
+    val seenHashes = seenDf(spark, n, parts, seenFactor)
+    val seen = new SeenState(spark, buckets = parts, useCuckoo = false,
+      expectedItems = math.max((n * seenFactor).toLong, 1000L),
+      fpp = 0.01, compactAt = 8)
+    seen.bootstrap(seenHashes)
     val t0 = System.nanoTime()
     val r = FrontierKernel.scheduleDedup(spark, frontier, n, seen, benchRules,
       hostBudget = Int.MaxValue / 4, saltBuckets = cpus * 2,
-      numPartitions = parts, bloom = bloom)
+      numPartitions = parts)
     val wall = (System.nanoTime() - t0) / 1e9
-    frontier.unpersist(); seen.unpersist()
+    frontier.unpersist()
     (wall, r.scheduled + r.newUrls + r.dedupHits)
   }
 }

@@ -5,6 +5,8 @@ import graft.synth.Corpus
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 /** spark-submit entry point for the crawl engine — the CLI twin of the
   * reference's `POST /crawl` (serving/handlers.go:25-96).
   *
@@ -14,10 +16,16 @@ import org.apache.spark.sql.functions._
   *     --seed <url> [--seed <url> ...] [--on-domain] [--host-budget N]
   *     [--max-waves N] [--partitions N] [--emit-visit-order]
   *     [--robots <parquet of (host,path_prefix,allow,crawl_delay)>]
+  *     [--max-retries N]
   *
   * Validation mirrors the handler: invalid seed → exit 400-style error;
   * the job itself runs to completion (or resumes from the state root's
   * last committed wave).
+  *
+  * Graceful stop (reference analog: serving/routes.go:61-85 — finish
+  * in-flight work, then exit): SIGTERM/SIGINT set a flag the wave loop
+  * checks BETWEEN waves — the current wave finishes and commits, so a
+  * later run resumes from a clean marker with zero replay.
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
@@ -30,6 +38,7 @@ object CrawlMain {
     var partitions = 32
     var emitOrder = false
     var robotsPath = ""
+    var maxRetries = 0
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -42,6 +51,7 @@ object CrawlMain {
         case "--partitions" => partitions = args(i + 1).toInt; i += 2
         case "--emit-visit-order" => emitOrder = true; i += 1
         case "--robots" => robotsPath = args(i + 1); i += 2
+        case "--max-retries" => maxRetries = args(i + 1).toInt; i += 2
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
     }
@@ -56,6 +66,10 @@ object CrawlMain {
       sys.exit(1)
     }
 
+    // graceful-stop flag: the wave loop polls it between waves
+    val stopFlag = new AtomicBoolean(false)
+    installStopHandlers(stopFlag)
+
     val spark = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", partitions.toString)
@@ -68,38 +82,62 @@ object CrawlMain {
         val Array(h, p) = docsPath.stripPrefix("synth:").split("x")
         val cfg = Corpus.Config(nHosts = h.toInt, pagesPerHost = p.toInt)
         import spark.implicits._
-        // repartition off the driver-side LocalTableScan: without it every
-        // job of every wave re-serializes the whole corpus into tasks
-        (spark.createDataset(Corpus.generate(cfg)).toDF()
-          .repartition(partitions), Corpus.robotsRules(cfg))
-      } else (spark.read.parquet(docsPath), Seq.empty[graft.model.RobotsRule])
+        // repartition off the driver-side LocalTableScan (without it every
+        // job of every wave re-serializes the whole corpus into tasks),
+        // then pin it resident: the synth corpus is driver-generated, so
+        // caching it is what makes it a distributed table at all.
+        val d = spark.createDataset(Corpus.generate(cfg)).toDF()
+          .repartition(partitions).persist()
+        d.count()
+        (d, Corpus.robotsRules(cfg))
+      } else
+        // plain parquet corpus: leave residency to the OS page cache /
+        // Spark scan — a corpus larger than the storage budget must NOT
+        // be force-materialized up front (ADVICE r1)
+        (spark.read.parquet(docsPath), Seq.empty[graft.model.RobotsRule])
 
-    // the corpus is the simulated web (S2): resident, like a warm page
-    // cache — the fetch join reads it every wave
-    docs.persist()
-    docs.count()
+    val jobCfg = CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves, partitions,
+      maxRetries = maxRetries, stopRequested = () => stopFlag.get())
 
     // robots: an explicit rules table wins; synth corpora default to their
-    // own generated rules; plain parquet corpora default to allow-all
-    val rules =
-      if (robotsPath.isEmpty) defaultRules
+    // own generated rules; plain parquet corpora default to allow-all.
+    // The rules DataFrame goes to the engine AS a DataFrame — the
+    // compile-vs-join cutover (and any driver-side collect) happens behind
+    // Robots.policyFromDf, so a 10^7-host rules table never lands on the
+    // driver (ADVICE r1: the unconditional collect is gone).
+    val metrics =
+      if (robotsPath.isEmpty) CrawlJob.run(spark, docs, defaultRules, jobCfg, state)
       else {
-        import spark.implicits._
-        spark.read.parquet(robotsPath)
+        val rulesDf = spark.read.parquet(robotsPath)
           .select(col("host"), col("path_prefix"), col("allow"), col("crawl_delay"))
-          .as[graft.model.RobotsRule].collect().toSeq
+        CrawlJob.runWithRulesDf(spark, docs, rulesDf, jobCfg, state)
       }
-
-    val metrics = CrawlJob.run(spark, docs, rules,
-      CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves, partitions), state)
 
     metrics.foreach(m => println(
       s"wave=${m.wave} fetched=${m.fetched} deferred=${m.deferred} " +
         s"robots_blocked=${m.robots_blocked} dedup_hits=${m.dedup_hits} " +
-        s"fetch_miss=${m.fetch_miss}"))
+        s"fetch_miss=${m.fetch_miss} retried=${m.retried}"))
+    if (stopFlag.get())
+      println(s"graceful-stop: committed through wave ${metrics.size - 1}; " +
+        "re-run with the same --state to resume")
     if (emitOrder)
       CrawlJob.visitOrder(spark, state, partitions)
         .orderBy(col("rank")).show(50, truncate = false)
     spark.stop()
   }
+
+  /** SIGTERM/SIGINT → finish-current-wave-then-commit. sun.misc.Signal
+    * (jdk.unsupported, present on the JDKs Spark supports) replaces the
+    * default terminate action; if unavailable, fall back to default
+    * signal behavior (kill/resume still guarantees exactness). */
+  private def installStopHandlers(flag: AtomicBoolean): Unit =
+    Seq("TERM", "INT").foreach { name =>
+      try {
+        sun.misc.Signal.handle(new sun.misc.Signal(name),
+          (_: sun.misc.Signal) => {
+            if (!flag.getAndSet(true))
+              System.err.println(s"SIG$name: finishing current wave, then committing and exiting")
+          })
+      } catch { case _: Throwable => () }
+    }
 }

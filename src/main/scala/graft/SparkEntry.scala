@@ -26,6 +26,7 @@ object SparkEntry {
     "c6_host_budget" -> (CrawlQueries.c6HostBudget _),
     "c7_robots" -> (CrawlQueries.c7Robots _),
     "c8_wave_expansion" -> (CrawlQueries.c8WaveExpansion _),
+    "c9_robots_txt" -> (CrawlQueries.c9RobotsTxt _),
     // training-data text analysis
     "t1_exact_dedup" -> (TextOps.exactDedup _),
     "t2_token_count" -> (TextOps.tokenCount _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "c6_host_budget" -> CrawlQueries.c6Sql,
     "c7_robots" -> CrawlQueries.c7Sql,
     "c8_wave_expansion" -> CrawlQueries.c8Sql,
+    "c9_robots_txt" -> CrawlQueries.c9Sql,
     "t1_exact_dedup" -> TextOps.exactDedupSql,
     "t2_token_count" -> TextOps.tokenCountSql,
     "t3_quality_score" -> TextOps.qualityScoreSql,

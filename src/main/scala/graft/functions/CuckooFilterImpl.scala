@@ -125,6 +125,32 @@ final class CuckooFilterImpl private (
     this
   }
 
+  /** Bulk-delete: remove one occurrence per fingerprint stored in `other`
+    * (the mirror of [[mergeInPlace]]). An item occupies one of the TWO
+    * partial-key buckets {i, i ^ scramble(fp)}; whichever slot `other`
+    * stored it in, [[deleteAt]] on that bucket followed by its alternate
+    * probes exactly that pair, so the matching occurrence here is found.
+    * Multiset-safe: every insert contributed one slot, so deleting one
+    * occurrence per deleted item never produces a false negative for the
+    * items that remain. */
+  def deleteInPlace(other: CuckooFilterImpl): CuckooFilterImpl = {
+    require(other.numBuckets == numBuckets, "cuckoo delete: size mismatch")
+    var b = 0
+    while (b < other.numBuckets) {
+      val base = other.slotBase(b)
+      var j = 0
+      while (j < SlotsPerBucket) {
+        val fp = other.slots(base + j)
+        if (fp != 0) {
+          if (!deleteAt(b, fp)) deleteAt(altBucket(b, fp), fp)
+        }
+        j += 1
+      }
+      b += 1
+    }
+    this
+  }
+
   def serialize(): Array[Byte] = {
     val buf = ByteBuffer.allocate(4 + slots.length * 2)
     buf.putInt(numBuckets)

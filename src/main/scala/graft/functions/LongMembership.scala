@@ -17,4 +17,17 @@ object LongMembership {
   final case class Cuckoo(cf: CuckooFilterImpl) extends LongMembership {
     def mightContain(h: Long): Boolean = cf.mightContain(h)
   }
+
+  /** Hash-bucketed filter bank: the probe routes to filter
+    * `pmod(h, buckets)`. Each bucket's filter is sized for its own
+    * cardinality and can be rebuilt independently when it saturates —
+    * the single-giant-filter alternative degrades to FPP≈1 once the
+    * fixed capacity is passed and cannot be resized incrementally. */
+  final case class Bucketed(filters: Array[LongMembership]) extends LongMembership {
+    private val b = filters.length
+    def mightContain(h: Long): Boolean = {
+      val i = ((h % b) + b) % b
+      filters(i.toInt).mightContain(h)
+    }
+  }
 }

@@ -46,7 +46,8 @@ final case class WaveMetrics(
     deferred: Long,
     robots_blocked: Long,
     dedup_hits: Long,
-    fetch_miss: Long)
+    fetch_miss: Long,
+    retried: Long = 0L)
 
 /** Extracted document — mirrors RenderedPage (crawler.go:36-41) flattened
   * to the ES mapping shape (conf/mappings/english_mapping.json:38-95). */

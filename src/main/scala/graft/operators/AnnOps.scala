@@ -7,21 +7,35 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the embeddings table
   * (vec_id, embedding: array<float>, label).
   *
-  * Two paths, as a 100 TB pipeline needs both:
+  * Three paths, as a 100 TB pipeline needs all of them:
   *  - brute-force cosine top-k (the correctness baseline) — a broadcast
   *    join of the (tiny) query set against the full vector table, dot
   *    products as codegen'd array expressions, per-query top-k via
   *    window over the query partition;
-  *  - LSH-bucketed (sign-random-projection) — deterministic pseudo-random
-  *    hyperplanes derived from (dim, plane) indices; vectors hash into
-  *    2^P sign buckets, search touches one bucket (the scale path:
-  *    bucket-partitioned, prunes ~2^P of the corpus per query).
+  *  - LSH (sign-random-projection): the plane count SCALES WITH THE
+  *    CORPUS — nPlanes = min(24, max(4, ceil(log2(n / 64)))) — so bucket
+  *    cardinality tracks corpus size (a fixed 2^4 = 16 buckets caps
+  *    shuffle parallelism at 16 tasks and makes every bucket ~6% of a
+  *    10^9-vector corpus; scaled planes keep buckets near the 64-vector
+  *    target). Query-side MULTI-PROBE (the exact bucket + every
+  *    hamming-1 flip) buys the recall back that narrower buckets cost;
+  *  - IVF with a TRAINED coarse quantizer: deterministic Lloyd k-means
+  *    (fixed init = first NCentroids vectors, fixed KMeansIters
+  *    iterations, integer-exact centroid updates so the DuckDB twin is
+  *    bit-identical), probing the NProbeCells nearest cells per query.
+  *
+  * Every "random" quantity derives from index arithmetic or md5 — no RNG
+  * state — so an independent engine recomputes identical results.
   */
 object AnnOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       .repartition(s.sparkContext.defaultParallelism)
+
+  /** Corpus size via the raw scan (parquet metadata count — no shuffle). */
+  private def embCount(s: SparkSession, dir: String): Long =
+    s.read.parquet(s"$dir/embeddings.parquet").count()
 
   /** Sequential-order dot product in double precision — both engines
     * accumulate left-to-right, so results are bit-identical. */
@@ -72,7 +86,26 @@ object AnnOps {
        |  FROM sims) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  val NPlanes = 4
+  // ---- LSH: corpus-scaled sign-random-projection --------------------------
+
+  val MaxPlanes = 24
+  val TargetBucketSize = 64L
+
+  /** nPlanes = min(24, max(4, ceil(log2(n / 64)))) via exact integer
+    * thresholds (a float log2 could round differently across engines). */
+  def nPlanesFor(n: Long): Int = {
+    var k = 4
+    while (k < MaxPlanes && n > (TargetBucketSize << k)) k += 1
+    k
+  }
+
+  /** DuckDB twin of [[nPlanesFor]] over `count(*)` — the same integer
+    * threshold ladder. */
+  val nPlanesSqlExpr: String = {
+    val cases = (4 until MaxPlanes)
+      .map(k => s"WHEN count(*) <= ${TargetBucketSize << k} THEN $k").mkString(" ")
+    s"CASE $cases ELSE $MaxPlanes END"
+  }
 
   /** Deterministic pseudo-random hyperplane weight for (dim i, plane p):
     * integer in [-3, 3] derived from index arithmetic — reproducible in
@@ -84,9 +117,9 @@ object AnnOps {
     * Projections run on floor-quantized integer components (×1000) so the
     * sign is exact integer arithmetic — no float-summation-order drift
     * between engines. Shared by a2/a3 and DedupOps.embeddingNearDup. */
-  def srpBucket(embCol: Column): Column = {
+  def srpBucket(embCol: Column, nPlanes: Int): Column = {
     val dims = sequence(lit(0), size(embCol) - 1)
-    val bucketBits = (0 until NPlanes).map { p =>
+    val bucketBits = (0 until nPlanes).map { p =>
       val proj = aggregate(dims, lit(0L),
         (acc, i) => acc +
           floor(element_at(embCol, (i + 1).cast("int")).cast("double") * 1000).cast("long") *
@@ -96,125 +129,234 @@ object AnnOps {
     bucketBits.reduce(_ + _)
   }
 
-  /** DuckDB twin of [[srpBucket]] over a column named `embedding`. */
-  val srpBucketSql: String = (0 until NPlanes).map { p =>
-    s"""CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
+  /** DuckDB twin of [[srpBucket]] over a column named `embedding`, with
+    * plane terms masked by an in-scope `np` column (the SQL can't unroll
+    * to a runtime-dependent count, so all MaxPlanes terms exist and the
+    * ones past np contribute 0). */
+  val srpBucketSqlMasked: String = (0 until MaxPlanes).map { p =>
+    s"""CASE WHEN $p < np THEN (CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
        |  i -> CAST(floor(embedding[i + 1]::DOUBLE * 1000) AS BIGINT) * (((i * 31 + $p * 17 + 7) % 7) - 3))) > 0
-       |  THEN ${1L << p} ELSE 0 END""".stripMargin
+       |  THEN ${1L << p} ELSE 0 END) ELSE 0 END""".stripMargin
   }.mkString(" + ")
+
+  private val npCte = s"np AS (SELECT $nPlanesSqlExpr AS np FROM embeddings)"
+
+  /** Query-side multi-probe buckets: the exact bucket plus each hamming-1
+    * flip — nPlanes+1 distinct probes. */
+  private def probeArray(bucket: Column, nPlanes: Int): Column =
+    array((Seq(bucket) ++ (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p)))): _*)
+
+  private val probeListSql: String =
+    "list_prepend(bucket, list_transform(generate_series(1, np.np), " +
+      "i -> xor(bucket, (1::BIGINT << (i-1)))))"
 
   /** a2: sign-random-projection bucket id per vector (the LSH partition
     * step; search = same hash on the query + a bucket-local scan). */
   def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val np = nPlanesFor(embCount(s, dir))
     emb(s, dir).select(
       $"vec_id",
-      srpBucket($"embedding").as("bucket"),
+      srpBucket($"embedding", np).as("bucket"),
       $"label".cast("long").as("label"))
       .orderBy($"vec_id")
   }
 
   val lshBucketsSql: String =
-    s"""SELECT vec_id, ($srpBucketSql)::BIGINT AS bucket, label::BIGINT AS label
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+    s"""WITH $npCte
+       |SELECT vec_id, ($srpBucketSqlMasked)::BIGINT AS bucket, label::BIGINT AS label
+       |FROM embeddings, np ORDER BY vec_id""".stripMargin
 
-  /** a3: bucketed ANN — top-3 cosine neighbors within each query's LSH
-    * bucket (the pruned search path; compares against a1 for recall). */
+  /** a3: multi-probe LSH ANN — top-TopK cosine neighbors across the
+    * query's probe buckets (exact bucket + hamming-1 ring). The probed
+    * fraction is (np+1)/2^np of the corpus — at np=20 that is ~0.002%,
+    * the pruning that makes 10^9-vector search tractable; recall vs the
+    * a1 ground truth is reported by AnnRecallSpec/Bench. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b = lshBuckets(s, dir).select($"vec_id", $"bucket")
-    val e = emb(s, dir).join(b, "vec_id").withColumn("nrm", norm($"embedding"))
+    val np = nPlanesFor(embCount(s, dir))
+    val e = emb(s, dir).select($"vec_id", $"embedding",
+      srpBucket($"embedding", np).as("bucket"), norm($"embedding").as("nrm"))
     val q = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"),
+        explode(probeArray($"bucket", np)).as("bucket"))
     val joined = e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
+      .select($"query_id", $"vec_id".as("neighbor_id"),
         round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6)
           .as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
+      .filter($"rank" <= TopK)
       .orderBy($"query_id", $"rank")
   }
 
   val lshTopKSql: String =
-    s"""WITH b AS (SELECT vec_id, embedding, ($srpBucketSql)::BIGINT AS bucket FROM embeddings),
+    s"""WITH $npCte,
+       |b AS (SELECT vec_id, embedding, ($srpBucketSqlMasked)::BIGINT AS bucket
+       |      FROM embeddings, np),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < $NQueries),
+       |qp AS (SELECT query_id, qv, unnest($probeListSql) AS bucket FROM q, np),
        |sims AS (
-       |  SELECT q.query_id, b.bucket, b.vec_id AS neighbor_id,
-       |    round(list_dot_product(q.qv::DOUBLE[], b.embedding::DOUBLE[]) /
-       |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+       |  SELECT qp.query_id, b.vec_id AS neighbor_id,
+       |    round(list_dot_product(qp.qv::DOUBLE[], b.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(qp.qv::DOUBLE[], qp.qv::DOUBLE[])) *
        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
        |    AS cosine
-       |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id)
-       |SELECT query_id, bucket, neighbor_id, cosine, rank FROM (
+       |  FROM b JOIN qp ON b.bucket = qp.bucket AND b.vec_id != qp.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM sims) WHERE rank <= 3
+       |  FROM sims) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  val NCentroids = 8
+  // ---- IVF: trained coarse quantizer (deterministic Lloyd) ----------------
 
-  /** a4: IVF (inverted-file) ANN — the second scale path next to LSH.
-    * Deterministic coarse quantizer: the first NCentroids vectors act as
-    * centroids; every vector is assigned to its max-cosine centroid (tie →
-    * lowest centroid id), giving an inverted list per cell. Search probes
-    * only the query's cell (nprobe=1): centroids broadcast, assignment is
-    * a narrow map stage, and the candidate join shuffles one cell — at
-    * 100 TB the cell assignment is the partition key, so each query
-    * touches ~1/NCentroids of the corpus. */
+  val NCentroids = 8
+  val KMeansIters = 2
+  val NProbeCells = 2
+  val IvfK = 3
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Cosine of a LITERAL centroid against the embedding column — the
+    * centroid norm folds at plan time; accumulation order matches
+    * DuckDB's list_dot_product. */
+  private def centCos(c: Array[Double]): Column = {
+    val cn = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
+    round(
+      aggregate(zip_with(typedLit(c.toSeq), col("embedding"),
+        (x, y) => x * y.cast("double")), lit(0.0), (acc, v) => acc + v) /
+        (lit(cn) * col("nrm")), 6)
+  }
+
+  /** Attach `cell` = argmax-cosine centroid (tie → lowest id). The cc
+    * columns cross a projection boundary first so the fold below only
+    * duplicates cheap column refs, never the dot-product trees. */
+  private def withCell(df: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val withCc = df.select(
+      (df.columns.map(col).toSeq ++ cents.map { case (k, c) => centCos(c).as(s"__cc$k") }): _*)
+    val ks = cents.map(_._1)
+    val init = (col(s"__cc${ks.head}"), lit(ks.head))
+    val (_, bestK) = ks.tail.foldLeft(init) { case ((bc, bk), k) =>
+      val c = col(s"__cc$k")
+      (when(c > bc, c).otherwise(bc), when(c > bc, lit(k)).otherwise(bk))
+    }
+    withCc.withColumn("cell", bestK).drop(ks.map(k => s"__cc$k"): _*)
+  }
+
+  /** Deterministic Lloyd: init = first NCentroids vectors (rounded 6 dp);
+    * per iteration, assign by rounded cosine then update each non-empty
+    * cell's centroid from INTEGER sums (floor(x*1000) summed as long →
+    * one double division → round 6 dp), so the update is summation-order
+    * independent and the DuckDB twin reproduces it bit-for-bit. */
+  private def trainCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
+    import org.apache.spark.sql.Row
+    var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < NCentroids)
+      .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
+      .map((r: Row) => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(f => round6(f.toDouble)).toArray))
+    val dim = cents.head._2.length
+    (1 to KMeansIters).foreach { _ =>
+      val assigned = withCell(e, cents)
+      val aggCols = (1 to dim).map(d =>
+        sum(floor(element_at(col("embedding"), d).cast("double") * 1000).cast("long"))
+          .as(s"s$d")) :+ count(lit(1)).as("cnt")
+      val rows = assigned.groupBy(col("cell")).agg(aggCols.head, aggCols.tail: _*).collect()
+      cents = rows.toSeq.map { r =>
+        val cnt = r.getLong(dim + 1)
+        (r.getInt(0),
+          (1 to dim).map(d => round6(r.getLong(d) / (cnt * 1000.0))).toArray)
+      }.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** a4: IVF ANN with the trained quantizer — assignment is a narrow map
+    * stage against LITERAL centroids (no join at all for the corpus
+    * side), queries probe their NProbeCells nearest cells, and the
+    * candidate join touches ~NProbeCells/NCentroids of the corpus. At
+    * 100 TB the cell is the partition key; training cost is
+    * KMeansIters × one scan + an 8-row aggregate. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).withColumn("nrm", norm($"embedding"))
-    val cents = e.filter($"vec_id" < NCentroids)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"nrm".as("cnrm"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"cc".desc, $"cent_id".asc)
-    val cells = e.join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"nrm", $"cent_id",
-        round(dot($"cv", $"embedding") / ($"cnrm" * $"nrm"), 6)
-          .as("cc"))
-      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell"))
-    val q = cells.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"), $"cell")
-    val joined = cells.join(broadcast(q), Seq("cell"))
+    val e = emb(s, dir).withColumn("nrm", norm($"embedding")).persist()
+    val cents = trainCentroids(e)
+    val cells = withCell(e, cents).select($"vec_id", $"embedding", $"nrm", $"cell")
+    // query probes: NProbeCells nearest centroids by (cosine desc, id asc)
+    val probeStructs = array(cents.map { case (k, c) =>
+      struct(centCos(c).as("cc"), lit(k).as("cell")) }: _*)
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cc".desc, $"cell".asc)
+    val qp = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"),
+        explode(probeStructs).as("pc"))
+      .select($"query_id", $"q", $"qnrm",
+        $"pc".getField("cc").as("cc"), $"pc".getField("cell").as("cell"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= NProbeCells)
+      .select($"query_id", $"q", $"qnrm", $"cell")
+    val joined = cells.join(broadcast(qp), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"cell", $"vec_id".as("neighbor_id"),
-        round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6)
-          .as("cosine"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6).as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
+      .filter($"rank" <= IvfK)
       .orderBy($"query_id", $"rank")
   }
 
-  val ivfTopKSql: String =
-    s"""WITH c AS (
-       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
-       |assign AS (
-       |  SELECT e.vec_id, e.embedding, c.cent_id,
-       |    round(list_dot_product(c.cv::DOUBLE[], e.embedding::DOUBLE[]) /
-       |      (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])) *
-       |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cc
-       |  FROM embeddings e, c),
-       |cells AS (
-       |  SELECT vec_id, embedding, cent_id AS cell FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn
-       |    FROM assign) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < $NQueries),
+  /** One SQL k-means assignment pass under centroid CTE `cCte`. */
+  private def assignSql(cCte: String): String =
+    s"""SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_dot_product(c.cv, e.embedding::DOUBLE[]) /
+       |          (sqrt(list_dot_product(c.cv, c.cv)) *
+       |           sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM embeddings e, $cCte c) t WHERE rn = 1""".stripMargin
+
+  /** Integer-exact centroid update from assignment CTE `aCte` (dims
+    * unrolled — the embeddings table is 64-dimensional). */
+  private def updateSql(aCte: String, dim: Int): String = {
+    val dims = (1 to dim).map(d =>
+      s"round(sum(CAST(floor(embedding[$d]::DOUBLE*1000) AS BIGINT))/(count(*)*1000.0), 6)")
+      .mkString(", ")
+    s"SELECT cell AS cent_id, [$dims] AS cv FROM $aCte GROUP BY cell"
+  }
+
+  def ivfTopKSql: String = ivfTopKSqlForDim(64)
+
+  private[operators] def ivfTopKSqlForDim(dim: Int): String =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cv
+       |  FROM embeddings WHERE vec_id < $NCentroids),
+       |a0 AS (${assignSql("c0")}),
+       |c1 AS (${updateSql("a0", dim)}),
+       |a1 AS (${assignSql("c1")}),
+       |c2 AS (${updateSql("a1", dim)}),
+       |cells AS (${assignSql("c2")}),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+       |qp AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, c.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      round(list_dot_product(c.cv, q.qv::DOUBLE[]) /
+       |        (sqrt(list_dot_product(c.cv, c.cv)) *
+       |         sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) DESC,
+       |      c.cent_id ASC) AS rn
+       |  FROM q, c2 c) t WHERE rn <= $NProbeCells),
        |sims AS (
-       |  SELECT q.query_id, e.cell, e.vec_id AS neighbor_id,
-       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
-       |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+       |  SELECT qp.query_id, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(qp.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(qp.qv::DOUBLE[], qp.qv::DOUBLE[])) *
        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
-       |  FROM cells e JOIN q ON e.cell = q.cell AND e.vec_id != q.query_id)
-       |SELECT query_id, cell, neighbor_id, cosine, rank FROM (
+       |  FROM cells e JOIN qp ON e.cell = qp.cell AND e.vec_id != qp.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM sims) WHERE rank <= 3
+       |  FROM sims) WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
 }

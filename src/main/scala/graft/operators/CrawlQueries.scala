@@ -170,6 +170,55 @@ object CrawlQueries {
       |  AND ('/p/' || (doc_id % 25)) LIKE '/p/1%')
       |ORDER BY doc_id""".stripMargin
 
+  /** c9: the robots.txt TEXT compiler end to end — group selection (an
+    * `otherbot` group that must NOT apply), `*` wildcards, `$` anchors,
+    * longest-match with allow-on-tie, and Crawl-delay → budget — parsed
+    * by RobotsTxt.parse and compiled to a Catalyst predicate. The oracle
+    * twin hand-translates the fixture's decision table (reference analog:
+    * temoto/robotstxt via colly, /root/reference/go.mod:22). */
+  val robotsTxtFixture: String =
+    """# c9 fixture — graftbot must select the * group
+      |User-agent: otherbot
+      |Disallow: /
+      |
+      |User-agent: *
+      |Disallow: /p/1
+      |Allow: /p/1$
+      |Disallow: /*/secret
+      |Crawl-delay: 2
+      |""".stripMargin
+
+  def c9RobotsTxt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grp = RobotsTxt.parse(robotsTxtFixture, "graftbot")
+    val byHost = Seq("src0", "src1", "src2").map(_ -> grp).toMap
+    val withPath = docs(s, dir)
+      .withColumn("host", $"source")
+      .withColumn("path",
+        when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit("/d"), pmod($"doc_id", lit(3)), lit("/secret/f")))
+          .otherwise(concat(lit("/p/"), pmod($"doc_id", lit(25)))))
+    withPath.select($"doc_id", $"host", $"path",
+        RobotsTxt.compileColumn(byHost, $"host", $"path").as("allowed"),
+        RobotsTxt.budgetColumn(byHost, $"host", 8).cast("int").as("budget"))
+      .orderBy($"doc_id")
+  }
+
+  val c9Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, source AS host,
+      |    CASE WHEN doc_id % 5 = 0 THEN '/d' || (doc_id % 3) || '/secret/f'
+      |         ELSE '/p/' || (doc_id % 25) END AS path
+      |  FROM documents)
+      |SELECT doc_id, host, path,
+      |  CASE WHEN host NOT IN ('src0','src1','src2') THEN true
+      |       WHEN path LIKE '/%/secret%' THEN false  -- Disallow /*/secret (len 9)
+      |       WHEN path = '/p/1' THEN true            -- Allow /p/1$ (5) beats /p/1 (4)
+      |       WHEN path LIKE '/p/1%' THEN false       -- Disallow /p/1
+      |       ELSE true END AS allowed,
+      |  CASE WHEN host IN ('src0','src1','src2') THEN 4 ELSE 8 END AS budget
+      |FROM u ORDER BY doc_id""".stripMargin
+
   /** c8: two-wave BFS seed expansion with dedup — the frontier recurrence
     * (fetch-join, link fan-out, left-anti dedup) as one plan (D2/D3 over a
     * derived link graph: doc d links to (2d+1) mod N and (3d+2) mod N). */

@@ -199,21 +199,43 @@ object DedupOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  /** n-gram Jaccard within same-lang blocks (blocked all-pairs — blocks
-    * bound the quadratic term; LSH above is the no-block path). Integer
-    * outputs only: inter, union, and a jaccard≥0.3 flag via cross-multiply. */
+  /** Max docs per triangle-join cell side: a (lang, len-bucket) block of
+    * n docs fans its O(n²) pair work across ceil(n/K)·(ceil(n/K)+1)/2
+    * cells of ≤ K² pairs each, instead of one task computing all of it. */
+  val BlockCap = 256
+
+  /** n-gram Jaccard within same-lang blocks. Blocking key = (lang,
+    * length-bucket): near-dups have near-equal length, so blocks bound
+    * the quadratic term without losing pairs; shingle sets travel hashed
+    * (longs) — cheaper shuffle + set ops.
+    *
+    * Skew defense (exact, not approximate): real corpora put millions of
+    * docs into one (en, short) block, and a join keyed on the block alone
+    * computes that block's entire O(n²) in ONE task. Here each block is
+    * hash-split into G = ceil(n/BlockCap) groups and the self-join runs
+    * over TRIANGLE CELLS (i ≤ j): a doc in group g joins cell (g, j) on
+    * the left for j ≥ g and cell (i, g) on the right for i ≤ g, so every
+    * unordered pair lands in exactly one cell and no task sees more than
+    * BlockCap² pairs. Work is unchanged — this is parallelization of an
+    * exact semantics, which is why the oracle twin stays the plain
+    * all-pairs SQL. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // blocking key = (lang, length-bucket): near-dups have near-equal
-    // length, so blocks bound the quadratic term without losing them.
-    // Shingle sets travel hashed (longs) — cheaper shuffle + set ops.
     val d = docs(s, dir).select($"doc_id", $"lang",
       (length($"text") / 100).cast("int").as("lb"),
       shingleHash(shingles($"text")).as("hs"))
-    val l = d.select($"lang", $"lb", $"doc_id".as("a"), $"hs".as("hs_a"))
-    val r = d.select($"lang", $"lb", $"doc_id".as("b"), $"hs".as("hs_b"))
-    l.join(r, Seq("lang", "lb")).filter($"a" < $"b")
-      .select($"lang", $"a", $"b",
+    val sizes = d.groupBy($"lang", $"lb").agg(count(lit(1)).as("__bn"))
+      .select($"lang", $"lb", ceil($"__bn" / lit(BlockCap.toDouble)).cast("int").as("__G"))
+    val dg = d.join(broadcast(sizes), Seq("lang", "lb"))
+      .withColumn("__g", pmod(xxhash64($"doc_id"), $"__G").cast("int"))
+    val l = dg.select($"lang", $"lb", $"doc_id".as("da"), $"hs".as("hs_a"),
+      $"__g".as("i"), explode(sequence($"__g", $"__G" - 1)).as("j"))
+    val r = dg.select($"lang", $"lb", $"doc_id".as("db"), $"hs".as("hs_b"),
+      explode(sequence(lit(0), $"__g")).as("i"), $"__g".as("j"))
+    l.join(r, Seq("lang", "lb", "i", "j"))
+      .filter(($"i" =!= $"j") || ($"da" < $"db")) // diagonal cells dedup ordered pairs
+      .select($"lang",
+        least($"da", $"db").as("a"), greatest($"da", $"db").as("b"),
         size(array_intersect($"hs_a", $"hs_b")).cast("long").as("inter"),
         size(array_union($"hs_a", $"hs_b")).cast("long").as("uni"))
       .filter($"inter" * 10 >= $"uni" * 1) // keep pairs with jaccard >= 0.1
@@ -248,35 +270,49 @@ object DedupOps {
 
   /** d5: embedding-cosine near-duplicate pairs — the semantic-dedup path
     * of the family (exact → minhash → simhash → embedding space).
-    * Candidate generation is SRP-LSH bucketing (AnnOps.srpBucket): only
-    * same-bucket pairs are compared, so the join shuffles one bucket per
-    * partition instead of forming all pairs — at 10^9 docs the candidate
-    * set is ~|corpus|²/2^planes per bucket partition, tunable via NPlanes.
-    * Survivors get the exact cosine; pairs at/above the threshold emit. */
+    * Candidate generation is SRP-LSH bucketing (AnnOps.srpBucket) with
+    * the CORPUS-SCALED plane count (buckets track corpus size instead of
+    * a fixed 16 — AnnOps.nPlanesFor) plus a hamming-1 MULTI-PROBE on the
+    * left side: a pair is compared iff their buckets differ in ≤1 plane,
+    * which buys back the recall narrower buckets cost. Each unordered
+    * pair lands in the join exactly once (the probe list is distinct and
+    * the right side's bucket is unique). Survivors get the exact cosine;
+    * pairs at/above the threshold emit. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val raw = s.read.parquet(s"$dir/embeddings.parquet")
+    val np = AnnOps.nPlanesFor(raw.count())
+    val e = raw
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"vec_id", $"embedding", AnnOps.srpBucket($"embedding").as("bucket"),
+      .select($"vec_id", $"embedding", AnnOps.srpBucket($"embedding", np).as("bucket"),
         norm($"embedding").as("nrm")) // per-vector, once — not per pair
-    val l = e.select($"bucket", $"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val probes = array((Seq($"bucket") ++
+      (0 until np).map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*)
+    val l = e.select($"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na"),
+      explode(probes).as("bucket"))
     val r = e.select($"bucket", $"vec_id".as("b"), $"embedding".as("eb"), $"nrm".as("nb"))
     l.join(r, Seq("bucket")).filter($"a" < $"b")
-      .select($"bucket", $"a", $"b",
+      .select($"a", $"b",
         round(dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("cosine"))
       .filter($"cosine" >= CosineThreshold)
       .orderBy($"a", $"b")
   }
 
   val embeddingNearDupSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, (${AnnOps.srpBucketSql})::BIGINT AS bucket
-       |  FROM embeddings)
-       |SELECT l.bucket AS bucket, l.vec_id AS a, r.vec_id AS b,
+    s"""WITH np AS (SELECT ${AnnOps.nPlanesSqlExpr} AS np FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding, (${AnnOps.srpBucketSqlMasked})::BIGINT AS bucket
+       |  FROM embeddings, np),
+       |lp AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(list_prepend(bucket, list_transform(generate_series(1, np.np),
+       |      i -> xor(bucket, (1::BIGINT << (i-1)))))) AS bucket
+       |  FROM e, np)
+       |SELECT l.vec_id AS a, r.vec_id AS b,
        |  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
        |    (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
        |     sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) AS cosine
-       |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |FROM lp l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
        |WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
        |    (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
        |     sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) >= $CosineThreshold

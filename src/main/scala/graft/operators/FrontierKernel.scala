@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.model.RobotsRule
+import graft.plans.SeenState
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 /** The scale-dominant kernel of the crawl engine, factored out so it can
   * be benchmarked at 10^7..10^10-row frontier scale independent of the
@@ -14,7 +14,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * Pipeline = the same stages [[graft.plans.CrawlJob]] runs per wave:
   *  1. two-phase host-salted politeness top-k (hot-host skew defused);
   *  2. order-isomorphic visit-id assignment (no global window);
-  *  3. bloom-prefiltered exact dedup against the seen set;
+  *  3. prefilter + exact dedup against the bucketed seen state
+  *     ([[SeenState]] — per-bucket filters, candidate-only exchange);
   *  4. robots predicate filter.
   */
 object FrontierKernel {
@@ -24,41 +25,43 @@ object FrontierKernel {
       robotsBlocked: Long)
 
   private val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** One schedule+dedup pass.
     * frontier: (url, url_hash, host, depth, parent_ord, link_index)
-    * seen:     (url_hash)
-    * Returns counters; `sinkAction` consumes the admitted rows (defaults
-    * to a noop-format write so the whole pipeline actually executes). */
+    * seen:     the production bucketed seen state (bootstrap it outside
+    *           the clock — it is amortized crawl state, not wave work).
+    * Returns counters; the pipeline terminates in a noop-format write so
+    * every stage actually executes. */
   def scheduleDedup(spark: SparkSession, frontier: DataFrame, frontierTotal: Long,
-      seen: DataFrame, rules: Seq[RobotsRule], hostBudget: Int, saltBuckets: Int,
-      numPartitions: Int, bloom: BloomFilter): KernelResult = {
+      seen: SeenState, rules: Seq[RobotsRule], hostBudget: Int, saltBuckets: Int,
+      numPartitions: Int): KernelResult = {
     import org.apache.spark.sql.Observation
 
     // 1. politeness (contended-host split + two-phase salted top-k)
     val (fetchSet0, _) = Politeness.select(frontier, rules, hostBudget, saltBuckets)
 
-    // 2. visit ids (persisted: the bloom-split consumes it twice)
+    // 2. visit ids (persisted: the prefilter-split consumes it twice)
     val fetchSet = Ranker.orderIsomorphicId(fetchSet0, priorityKeys, "ord",
       1L << 50, numPartitions).persist()
     val scheduled = fetchSet.count()
 
-    // 3. dedup: bloom prefilter + exact anti-join of bloom-positives —
-    // the probe is a native codegen expression, not a UDF (no per-row
-    // boxing; the filter stays inside the whole-stage codegen span)
-    val bfB = spark.sparkContext.broadcast(
-      graft.functions.LongMembership.Bloom(bloom): graft.functions.LongMembership)
+    // 3. dedup: per-bucket prefilter + exact anti-join of filter-positives
+    // against the bucketed pieces — the probe is a native codegen
+    // expression (no per-row boxing); the anti-join exchanges only the
+    // candidate side (the seen pieces are pre-partitioned on url_hash)
+    val bfB = spark.sparkContext.broadcast(seen.prefilter)
     val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
     val fresh = fetchSet.filter(!mightContain)
     val maybe = fetchSet.filter(mightContain)
-    val confirmed = maybe.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    val confirmed = seen.antiJoin(maybe)
     val newUrls = fresh.unionByName(confirmed)
 
     // 4. robots
     val path = coalesce(nullif(parse_url(col("url"), lit("PATH")), lit("")), lit("/"))
     val allowed = Robots.compile(rules, col("host"), path)
 
-    val obs = Observation(s"kernel${System.identityHashCode(frontier)}")
+    val obs = Observation(s"kernel-${obsCounter.incrementAndGet()}")
     val admitted = newUrls
       .observe(obs,
         count(lit(1)).as("new"),

@@ -23,32 +23,43 @@ import org.apache.spark.sql.functions._
   * Selection is decision-identical to a single global per-host window
   * (tier 1 selects everything ≤ budget; tiers 2+3 select exactly the
   * budget-smallest by priority), which is what the golden oracle does.
+  *
+  * The per-host budget arrives through [[Robots.RobotsPolicy]] — compiled
+  * predicate for small rule sets, broadcast packed-rules join above the
+  * cutover — attached ONCE per tier input, so the join path pays a single
+  * broadcast join regardless of how many tiers consume the budget.
   */
 object Politeness {
 
   val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
 
+  /** Back-compat entry point for driver-resident rule Seqs. */
+  def select(frontier: DataFrame, rules: Seq[RobotsRule], hostBudget: Int,
+      saltBuckets: Int): (DataFrame, DataFrame) =
+    select(frontier, Robots.Compiled(rules), hostBudget, saltBuckets)
+
   /** Split frontier into (fetchSet, deferred) honoring per-host budgets.
     * Input must have columns host, url_hash, depth, parent_ord,
     * link_index (extra columns pass through). */
-  def select(frontier: DataFrame, rules: Seq[RobotsRule], hostBudget: Int,
+  def select(frontier: DataFrame, policy: Robots.RobotsPolicy, hostBudget: Int,
       saltBuckets: Int): (DataFrame, DataFrame) = {
-    val budget = Robots.budgetColumn(rules, col("host"), hostBudget)
-
-    // tier 1: hosts under budget skip the windows entirely
-    val contendedHosts = frontier.groupBy(col("host"))
-      .agg(count(lit(1)).as("__hn"))
-      .filter(col("__hn") > Robots.budgetColumn(rules, col("host"), hostBudget))
+    // tier 1: hosts under budget skip the windows entirely. The budget
+    // joins against the per-host AGGREGATE (one row per host), so the
+    // join path never touches the full frontier here.
+    val hostCounts = frontier.groupBy(col("host")).agg(count(lit(1)).as("__hn"))
+    val contendedHosts = policy.withBudget(hostCounts, hostBudget, "__budget")
+      .filter(col("__hn") > col("__budget"))
       .select(col("host"), lit(true).as("__contended"))
     val tagged = frontier.join(broadcast(contendedHosts), Seq("host"), "left_outer")
     val uncontended = tagged.filter(col("__contended").isNull).drop("__contended")
-    val contended = tagged.filter(col("__contended").isNotNull).drop("__contended")
+    val contended = policy.withBudget(
+      tagged.filter(col("__contended").isNotNull).drop("__contended"),
+      hostBudget, "__budget")
 
     // tier 2: salted pre-window (hot host spread over saltBuckets tasks)
     val salted = contended.withColumn("__salt", pmod(col("url_hash"), lit(saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("__salt")).orderBy(priorityKeys: _*)
     val phase1 = salted.withColumn("__lrn", row_number().over(w1))
-      .withColumn("__budget", budget)
     val survivors = phase1.filter(col("__lrn") <= col("__budget"))
     val defer1 = phase1.filter(col("__lrn") > col("__budget"))
       .drop("__salt", "__lrn", "__budget")

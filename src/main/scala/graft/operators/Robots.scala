@@ -1,21 +1,114 @@
 package graft.operators
 
 import graft.model.RobotsRule
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** robots.txt rules compiled to Catalyst filter predicates (north_rule;
   * reference analog: colly's temoto/robotstxt integration, go.mod:22,
   * active because IgnoreRobotsTxt defaults to false at crawler.go:76).
   *
-  * Longest-prefix-match-wins over the URL path. The rule set is driver
-  * resident (robots tables are tiny next to the frontier — even 10^7 hosts
-  * × a few rules fit, and the compiled predicate constant-folds into
-  * whole-stage codegen, so the frontier side pays zero shuffle). A
-  * join-based variant ([[robotsJoin]]) covers the degenerate case of a
-  * rule set too large to compile.
+  * Longest-prefix-match-wins over the URL path. Two physical forms behind
+  * one [[RobotsPolicy]] face, selected by rule-set size:
+  *
+  *  - **Compiled** (≤ maxCompileHosts distinct hosts): a constant-folded
+  *    `when`-chain that stays inside whole-stage codegen — zero join,
+  *    zero shuffle. Past ~64 hosts the chain blows the 64 KB JVM method
+  *    limit (codegen falls back to interpreted) and plan construction
+  *    itself becomes O(hosts) per wave, so it is capped.
+  *  - **Joined** (any size): rules pre-packed to ONE row per host with
+  *    the prefix list sorted longest-first, broadcast, and joined on
+  *    `host` alone; the longest-match decision is a codegen'd array scan
+  *    (`filter(...)[0]`) on the packed row — no row multiplication, no
+  *    candidate-side shuffle, no groupBy. Scales to 10^7 ruled hosts
+  *    (the packed table is what gets broadcast, one row per host).
   */
 object Robots {
+
+  /** One face over the physical robots/budget forms (compiled chain,
+    * packed broadcast join, and RobotsTxt's wildcard compile); attach-once
+    * column builders so a wave evaluates each decision exactly once. */
+  trait RobotsPolicy extends Serializable {
+    /** df + boolean column `out`: longest-prefix robots decision over
+      * (df("host"), path). */
+    def withAllowed(df: DataFrame, path: Column, out: String): DataFrame
+    /** df + int column `out`: per-host politeness budget
+      * max(1, hostBudget / max(1, crawl_delay)). */
+    def withBudget(df: DataFrame, hostBudget: Int, out: String): DataFrame
+  }
+
+  final case class Compiled(rules: Seq[RobotsRule]) extends RobotsPolicy {
+    def withAllowed(df: DataFrame, path: Column, out: String): DataFrame =
+      df.withColumn(out, compile(rules, col("host"), path))
+    def withBudget(df: DataFrame, hostBudget: Int, out: String): DataFrame =
+      df.withColumn(out, budgetColumn(rules, col("host"), hostBudget))
+  }
+
+  /** packed: one row per host — (host, __rules: array<struct<prefix,
+    * allow>> longest-first, __delay). Caller should persist it; it is
+    * broadcast at every use site. */
+  final case class Joined(packed: DataFrame) extends RobotsPolicy {
+    def withAllowed(df: DataFrame, path: Column, out: String): DataFrame = {
+      val joined = df.join(broadcast(packed.select(col("host"), col("__rules"))),
+        Seq("host"), "left_outer")
+      // first match in longest-first order IS the longest match; no rule
+      // row or no matching prefix → allowed (same contract as compile)
+      joined.withColumn(out, coalesce(
+          get(filter(col("__rules"), r => startswith(path, r.getField("prefix"))), lit(0))
+            .getField("allow"),
+          lit(true)))
+        .drop("__rules")
+    }
+    def withBudget(df: DataFrame, hostBudget: Int, out: String): DataFrame = {
+      val joined = df.join(broadcast(packed.select(col("host"), col("__delay"))),
+        Seq("host"), "left_outer")
+      joined.withColumn(out,
+          when(col("__delay").isNull, lit(hostBudget))
+            .otherwise(greatest(lit(1),
+              floor(lit(hostBudget) / greatest(lit(1), col("__delay"))).cast("int"))))
+        .drop("__delay")
+    }
+  }
+
+  /** Pack a (host, path_prefix, allow, crawl_delay) rules table into the
+    * one-row-per-host broadcast layout [[Joined]] consumes. */
+  def packRules(rulesDf: DataFrame): DataFrame =
+    rulesDf.groupBy(col("host")).agg(
+      // sort key = (-len, prefix, allow): longest-first, deterministic
+      transform(
+        sort_array(collect_list(struct(
+          (-length(col("path_prefix"))).as("nl"),
+          col("path_prefix").as("prefix"),
+          col("allow").as("allow")))),
+        r => struct(r.getField("prefix").as("prefix"), r.getField("allow").as("allow"))
+      ).as("__rules"),
+      max(col("crawl_delay")).as("__delay"))
+
+  /** Size-based cutover from a driver-resident rule Seq. */
+  def policy(rules: Seq[RobotsRule], spark: SparkSession,
+      maxCompileHosts: Int = 64): RobotsPolicy = {
+    val nHosts = rules.iterator.map(_.host).toSet.size
+    if (nHosts <= maxCompileHosts) Compiled(rules)
+    else {
+      import spark.implicits._
+      Joined(packRules(rules.toDF()).persist())
+    }
+  }
+
+  /** Size-based cutover from a rules DataFrame — the large-table entry
+    * point: the driver never collects the raw rules above the threshold
+    * (only the per-host packed rows travel, as a broadcast). */
+  def policyFromDf(rulesDf: DataFrame, maxCompileHosts: Int = 64): RobotsPolicy = {
+    val nHosts = rulesDf.select(col("host")).distinct().count()
+    if (nHosts <= maxCompileHosts) {
+      val collected = rulesDf
+        .select(col("host"), col("path_prefix"), col("allow"), col("crawl_delay"))
+        .collect()
+        .map(r => RobotsRule(r.getString(0), r.getString(1), r.getBoolean(2), r.getInt(3)))
+        .toSeq
+      Compiled(collected)
+    } else Joined(packRules(rulesDf).persist())
+  }
 
   /** Compile rules into a Boolean Column over (host, path).
     * For each host, conditions are tested longest-prefix-first, so the

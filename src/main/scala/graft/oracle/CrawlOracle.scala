@@ -38,7 +38,8 @@ object CrawlOracle {
       seeds: Seq[String],
       onDomain: Boolean = false,
       hostBudget: Int = 4,
-      maxWaves: Int = 64)
+      maxWaves: Int = 64,
+      maxRetries: Int = 0)
 
   final case class Result(
       visits: Vector[Visit],
@@ -94,6 +95,12 @@ object CrawlOracle {
     }
 
     var pending = frontier.result()
+    // bounded fetch-miss retry policy (exercises the cuckoo unsee path in
+    // the engine): a missed URL with remaining retry budget re-enters the
+    // next wave at its ORIGINAL priority; its visit consumes a fresh rank
+    // each attempt; the seen set is unchanged (the URL stays seen, so link
+    // rediscovery still counts dedup_hits).
+    val fails = mutable.Map.empty[Long, Int]
     var wave = 0
     while (pending.nonEmpty && wave < cfg.maxWaves) {
       val ordered = pending.sortBy(e => (e.depth, e.parentRank, e.linkIndex))
@@ -113,13 +120,19 @@ object CrawlOracle {
       var nMiss = 0L
       var nRobots = 0L
       var nDedup = 0L
+      var nRetried = 0L
       val newEntries = Vector.newBuilder[Entry]
+      val retryEntries = Vector.newBuilder[Entry]
 
       fetched.foreach { e =>
         val rank = nextRank; nextRank += 1
         visits += Visit(rank, wave, e.url)
         docsByUrl.get(e.url) match {
-          case None => nMiss += 1
+          case None =>
+            nMiss += 1
+            val f = fails.getOrElse(e.hash, 0) + 1
+            fails(e.hash) = f
+            if (f <= cfg.maxRetries) { nRetried += 1; retryEntries += e }
           case Some(doc) =>
             nFetched += 1
             outDocs += extract(doc)
@@ -143,8 +156,9 @@ object CrawlOracle {
             }
         }
       }
-      metrics += WaveMetrics(wave, nFetched, deferred.size.toLong, nRobots, nDedup, nMiss)
-      pending = deferred ++ newEntries.result()
+      metrics += WaveMetrics(wave, nFetched, deferred.size.toLong, nRobots, nDedup, nMiss,
+        nRetried)
+      pending = deferred ++ newEntries.result() ++ retryEntries.result()
       wave += 1
     }
     Result(visits.result(), seen.values.toVector, outDocs.result(), metrics.result())

@@ -6,13 +6,9 @@ import graft.model._
 import graft.operators.{DocExtract, Politeness, Ranker, Robots}
 import graft.sources.IceLite
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.GraftShim
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.util.sketch.BloomFilter
 
+import java.util.concurrent.atomic.AtomicLong
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
@@ -25,15 +21,18 @@ import scala.concurrent.duration.Duration
   *  - politeness top-k is two-phase host-salted: window over (host, salt)
   *    first, so a hot host (30% of the frontier) never lands in one task;
   *    the second window sees ≤ saltBuckets × budget rows per host;
-  *  - dedup is a broadcast bloom prefilter (exactness restored by a
-  *    left-anti join of ONLY the bloom-positive candidates against the
-  *    seen table — the shuffle carries a fraction of the wave);
+  *  - the URL-seen state is an LSM stack of hash-bucketed pieces with
+  *    per-bucket saturation-aware prefilters ([[SeenState]]): the wave
+  *    anti-join exchanges ONLY candidate rows — the seen side is
+  *    pre-partitioned once and never re-shuffled or re-read;
   *  - parent ranks are order-isomorphic range-partitioned ids, never a
   *    global row_number (no single-partition stage anywhere in the wave);
   *  - each wave round-trips state through IceLite parquet: lineage
   *    truncation + atomic checkpoint + exact kill/resume for free;
-  *  - robots rules compile to a Catalyst predicate (constant-folded,
-  *    whole-stage codegen) instead of a per-row rule lookup.
+  *  - robots rules ride a [[Robots.RobotsPolicy]]: a constant-folded
+  *    codegen predicate below `robotsCompileMaxHosts` distinct hosts, a
+  *    broadcast packed-rules join above it (the compiled `when`-chain
+  *    blows the 64 KB codegen method limit past ~64 hosts).
   */
 object CrawlJob {
 
@@ -44,26 +43,19 @@ object CrawlJob {
       maxWaves: Int = 64,
       numPartitions: Int = 32,
       saltBuckets: Int = 8,
-      bloomItems: Long = 4L * 1000 * 1000,
+      bloomItems: Long = 4L * 1000 * 1000, // expected total seen URLs (filters resize past it)
       bloomFpp: Double = 0.01,
-      seenFilter: String = "bloom") // "bloom" | "cuckoo" (north_rule names both)
+      seenFilter: String = "bloom", // "bloom" | "cuckoo" (north_rule names both)
+      seenBuckets: Int = 32,        // hash buckets for the seen LSM + filter bank
+      compactPieces: Int = 8,       // LSM compaction threshold (anti-join chain bound)
+      maxRetries: Int = 0,          // bounded fetch-miss retry (0 = reference behavior)
+      robotsCompileMaxHosts: Int = 64, // compile→join cutover for robots/budget rules
+      stopRequested: () => Boolean = () => false) // graceful stop: finish wave, commit, exit
 
-  // Broadcastable approximate-membership prefilter: bloom (default) or
-  // cuckoo (deletion-capable) — graft.functions.LongMembership, probed by
-  // the codegen MightContainLong expression.
-  private type Prefilter = graft.functions.LongMembership
-
-  /** `bloom_filter_agg` as a Column, sized exactly like
-    * `BloomFilter.create(items, fpp)` so per-wave filters stay mergeable
-    * with the resume-time `stat.bloomFilter` build. Riding the aggregate
-    * on the seen write's `observe` makes the wave bloom FREE — the
-    * standalone `stat.bloomFilter` pass it replaces cost a full extra
-    * job over the wave's new URLs. */
-  private def bloomAgg(c: Column, items: Long, fpp: Double): Column = {
-    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
-    GraftShim.column(new BloomFilterAggregate(GraftShim.expression(c),
-      Literal(items), Literal(numBits)).toAggregateExpression())
-  }
+  // Observation names must be unique per SparkSession lifetime; a process-
+  // wide counter is collision-proof across runs sharing a session.
+  private val obsCounter = new AtomicLong()
+  private def obsName(tag: String): String = s"$tag-${obsCounter.incrementAndGet()}"
 
   final case class Tables(
       frontier: IceLite.Table,
@@ -71,7 +63,8 @@ object CrawlJob {
       visits: IceLite.Table,
       docs: IceLite.Table,
       docsFlat: IceLite.Table,
-      metrics: IceLite.Table)
+      metrics: IceLite.Table,
+      failed: IceLite.Table)
 
   def tables(root: String, spark: SparkSession): Tables = Tables(
     IceLite.table(s"$root/frontier", spark),
@@ -79,13 +72,27 @@ object CrawlJob {
     IceLite.table(s"$root/visits", spark),
     IceLite.table(s"$root/crawl_docs", spark),
     IceLite.table(s"$root/crawl_docs_flat", spark),
-    IceLite.table(s"$root/metrics", spark))
+    IceLite.table(s"$root/metrics", spark),
+    IceLite.table(s"$root/fetch_failed", spark))
 
   /** Run (or resume) the crawl to completion. `docsDf` is the synthetic
     * web: the fetch step is an equi-join against it (no network in the
     * sandbox — SURVEY §2.1 S2). Returns the per-wave metrics. */
   def run(spark: SparkSession, docsDf: DataFrame, rules: Seq[RobotsRule],
-      cfg: Config, stateRoot: String): Seq[WaveMetrics] = {
+      cfg: Config, stateRoot: String): Seq[WaveMetrics] =
+    runWithPolicy(spark, docsDf,
+      Robots.policy(rules, spark, cfg.robotsCompileMaxHosts), cfg, stateRoot)
+
+  /** Large-rule-table entry point: the rules stay distributed; the driver
+    * only ever sees the per-host packed broadcast (or a small collected
+    * Seq below the compile cutover). */
+  def runWithRulesDf(spark: SparkSession, docsDf: DataFrame, rulesDf: DataFrame,
+      cfg: Config, stateRoot: String): Seq[WaveMetrics] =
+    runWithPolicy(spark, docsDf,
+      Robots.policyFromDf(rulesDf, cfg.robotsCompileMaxHosts), cfg, stateRoot)
+
+  def runWithPolicy(spark: SparkSession, docsDf: DataFrame,
+      policy: Robots.RobotsPolicy, cfg: Config, stateRoot: String): Seq[WaveMetrics] = {
     import spark.implicits._
     val t = tables(stateRoot, spark)
 
@@ -115,41 +122,21 @@ object CrawlJob {
       // Crash-consistency on resume: the frontier commit is the wave's
       // commit marker (it lands last). Any sink append tagged with a wave
       // >= next_wave came from a wave that never committed — roll those
-      // snapshots back so the re-run is exactly-once.
+      // snapshots back so the re-run is exactly-once. The doc sinks run
+      // concurrently with the seen/failed appends inside a wave, so ANY
+      // subset of {seen, visits, docs, docsFlat, metrics, failed} may
+      // carry the uncommitted wave — the trim is order-independent.
       val w = wave
-      Seq(t.seen, t.visits, t.docs, t.docsFlat, t.metrics).foreach {
+      Seq(t.seen, t.visits, t.docs, t.docsFlat, t.metrics, t.failed).foreach {
         _.trimWhile(s => s.counters.get("wave").exists(_ >= w))
       }
     }
 
-    // seen prefilter (bloom or cuckoo): rebuilt from the seen table on
-    // (re)start, then merged incrementally per wave — never rescanned.
-    val useCuckoo = cfg.seenFilter == "cuckoo"
-    var bloom: BloomFilter =
-      if (useCuckoo) null
-      else if (!t.seen.isEmpty)
-        t.seen.read().stat.bloomFilter("url_hash", cfg.bloomItems, cfg.bloomFpp)
-      else BloomFilter.create(cfg.bloomItems, cfg.bloomFpp)
-    var cuckoo: graft.functions.CuckooFilterImpl =
-      if (!useCuckoo) null
-      else if (!t.seen.isEmpty) {
-        import graft.functions.CuckooFilterAgg.cuckoo_filter_agg
-        graft.functions.CuckooFilterImpl.deserialize(
-          t.seen.read().agg(cuckoo_filter_agg(col("url_hash"), cfg.bloomItems))
-            .head.getAs[Array[Byte]](0))
-      } else graft.functions.CuckooFilterImpl.create(cfg.bloomItems)
-
-    // in-memory seen (anti-join right side): a union of per-wave cached
-    // pieces — IceLite stays the durable copy, but waves never re-read it
-    // from parquet. At 10^10 the memory copy is replaced by the bucketed
-    // disk layout; locally it removes a growing scan per wave.
-    var seenPieces: Vector[DataFrame] =
-      if (!t.seen.isEmpty)
-        Vector(t.seen.read().select("url_hash").persist())
-      else Vector.empty
-    def seenHashes: DataFrame =
-      if (seenPieces.isEmpty) spark.emptyDataset[SeenUrl].toDF().select("url_hash")
-      else seenPieces.reduce(_ unionByName _)
+    // seen state: bucketed pieces + per-bucket prefilters, rebuilt from
+    // the durable table on (re)start, then fed incrementally per wave.
+    val seen = new SeenState(spark, cfg.seenBuckets, cfg.seenFilter == "cuckoo",
+      cfg.bloomItems, cfg.bloomFpp, cfg.compactPieces)
+    seen.bootstrap(t.seen.readOr(spark.emptyDataset[SeenUrl].toDF()))
 
     val seedHosts: Set[String] = cfg.seeds.flatMap { s =>
       Option(UrlOps.canonicalize(s)).map(c => UrlOps.hostOf(UrlOps.parse(c).authority))
@@ -159,39 +146,34 @@ object CrawlJob {
     var frontierSize: Long = t.frontier.currentSnapshot
       .flatMap(_.counters.get("frontier_size")).getOrElse(0L)
     var done = false
-    while (!done && wave < cfg.maxWaves) {
+    while (!done && wave < cfg.maxWaves && !cfg.stopRequested()) {
       val frontier = t.frontier.readOr(spark.emptyDataset[FrontierEntry].toDF())
       if (t.frontier.isEmpty) { done = true }
       else {
-        val pre: Prefilter =
-          if (useCuckoo) graft.functions.LongMembership.Cuckoo(cuckoo)
-          else graft.functions.LongMembership.Bloom(bloom)
-        val (m, nextSize, newBloom, newCuckoo, newPiece) =
-          runWave(spark, t, docsDf, rules, cfg, wave, frontier, frontierSize,
-            pre, seenHashes, seedHosts)
-        if (newBloom != null) { bloom.mergeInPlace(newBloom) }
-        if (newCuckoo != null) { cuckoo.mergeInPlace(newCuckoo) }
-        if (newPiece != null) seenPieces :+= newPiece
+        val (m, nextSize) = runWave(spark, t, docsDf, policy, cfg, wave, frontier,
+          frontierSize, seen, seedHosts)
         out += m
         frontierSize = nextSize
         wave += 1
       }
     }
-    seenPieces.foreach(_.unpersist())
     out.result()
   }
 
   private val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
+  private val frontierCols =
+    Seq(col("url"), col("url_hash"), col("host"), col("depth"),
+      col("parent_ord"), col("link_index"))
 
-  /** One BSP wave. Counters ride the sink writes via the Observation API —
-    * a wave costs exactly its materializations (5 sink writes + the
-    * wave-bloom build), no standalone count jobs.
-    * Returns (metrics, next frontier size, bloom-of-new-seen-hashes). */
+  /** One BSP wave. Counters ride the sink writes via the Observation API
+    * where exactly-once is guaranteed by the write job; the candidate
+    * total is a deterministic aggregate over the cached winners (an
+    * observe under a persist can double-fire on cache races/retries).
+    * Returns (metrics, next frontier size). */
   private def runWave(spark: SparkSession, t: Tables, docsDf: DataFrame,
-      rules: Seq[RobotsRule], cfg: Config, wave: Int, frontier: DataFrame,
-      frontierSize: Long, pre: Prefilter, seenHashes: DataFrame,
-      seedHosts: Set[String])
-      : (WaveMetrics, Long, BloomFilter, graft.functions.CuckooFilterImpl, DataFrame) = {
+      policy: Robots.RobotsPolicy, cfg: Config, wave: Int, frontier: DataFrame,
+      frontierSize: Long, seen: SeenState, seedHosts: Set[String])
+      : (WaveMetrics, Long) = {
     import spark.implicits._
     import org.apache.spark.sql.Observation
     // wave-size-adaptive parallelism: a 10-row wave must not pay 32-task
@@ -211,14 +193,13 @@ object CrawlJob {
     // --- politeness: contended-host split + two-phase salted top-k
     //     (SURVEY §2.4 P1/P4; see graft.operators.Politeness) ------------
     val (fetchRaw, deferRaw) = Politeness.select(
-      frontier, rules, cfg.hostBudget, cfg.saltBuckets)
-    val fetchSet0 = fetchRaw
+      frontier, policy, cfg.hostBudget, cfg.saltBuckets)
     val deferred0 = deferRaw.persist()
 
     // --- visit-order ids: order-isomorphic, no global window ------------
     val waveBase = (wave.toLong + 1L) << 50
     val fetchSet = Ranker.orderIsomorphicId(
-        fetchSet0, priorityKeys, "ord", waveBase, p)
+        fetchRaw, priorityKeys, "ord", waveBase, p)
       .persist()
 
     // --- fetch = equi-join against the synthetic web (S2) ---------------
@@ -229,7 +210,7 @@ object CrawlJob {
     // visits: every scheduled fetch consumes a rank, misses included.
     // This write runs first, synchronously: it materializes the fetchSet
     // cache every later consumer reads.
-    val obsVisits = Observation(s"visits$wave")
+    val obsVisits = Observation(obsName(s"visits$wave"))
     t.visits.append(
       fetchSet.select(col("ord"), lit(wave).as("wave"), col("url"), col("depth"))
         .observe(obsVisits, count(lit(1)).as("n")),
@@ -242,9 +223,10 @@ object CrawlJob {
     // concurrent Spark job while the main thread expands links — the wave
     // wall pays max(sinks, expansion), not the sum. Crash-consistency is
     // unaffected: the frontier replace (the wave's commit marker) still
-    // lands last, after the await below.
+    // lands last, after the await below; the resume trim handles any
+    // docs/seen commit interleaving a crash can leave behind.
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val obsDocs = Observation(s"docs$wave")
+    val obsDocs = Observation(obsName(s"docs$wave"))
     val docSinks: Future[Unit] = Future {
       t.docs.append(
         DocExtract.extract(hits, "url", "spans").observe(obsDocs, count(lit(1)).as("n")),
@@ -253,78 +235,122 @@ object CrawlJob {
     }
     val nDeferred = frontierSize - nFetch
 
-    // --- link expansion → candidates (A-span posexplode, O5/O6/O7) ------
-    val aSpans = DocExtract.sortedSpans(col("spans"))
-    val links = hits
-      .select(col("url").as("base"), col("ord").as("parent_ord"), col("depth"),
-        posexplode(filter(aSpans, s => s.getField("kind") === lit("a")))
-          .as(Seq("link_index", "span")))
-      .select(col("base"), col("parent_ord"), col("depth"), col("link_index"),
-        col("span").getField("text").as("href"))
-    var cands = links
-      .withColumn("cand", resolve_url(col("base"), col("href")))
-      .filter(col("cand").isNotNull && !is_media_url(col("cand")))
-      .withColumn("chost", url_host(col("cand")))
-    if (cfg.onDomain)
-      cands = cands.filter(col("chost").isin(seedHosts.toSeq: _*))
+    // Main-path work between the fork and the join: guarded so a failure
+    // NEVER orphans the sink job — the future is awaited on both paths
+    // before control leaves this wave.
+    val (nCand, nNewSeen, nAdmitted, nRetried, nextFrontier, nextSize, toFree) = try {
+      // --- link expansion → candidates (A-span posexplode, O5/O6/O7) ----
+      val aSpans = DocExtract.sortedSpans(col("spans"))
+      val links = hits
+        .select(col("url").as("base"), col("ord").as("parent_ord"), col("depth"),
+          posexplode(filter(aSpans, s => s.getField("kind") === lit("a")))
+            .as(Seq("link_index", "span")))
+        .select(col("base"), col("parent_ord"), col("depth"), col("link_index"),
+          col("span").getField("text").as("href"))
+      var cands = links
+        .withColumn("cand", resolve_url(col("base"), col("href")))
+        .filter(col("cand").isNotNull && !is_media_url(col("cand")))
+        .withColumn("chost", url_host(col("cand")))
+      if (cfg.onDomain)
+        cands = cands.filter(col("chost").isin(seedHosts.toSeq: _*))
 
-    // --- within-wave first-wins + cross-wave dedup (D2/D3) --------------
-    // grp_n (candidates folded into each winner) makes the group-agg carry
-    // the dedup accounting, so no standalone count over `cands` is needed.
-    // The candidate total rides an observe UNDER the persist: metrics fire
-    // exactly once, while the seen-write job populates the cache — no
-    // standalone materialization barrier for the winners pipeline.
-    val obsWinners = Observation(s"winners$wave")
-    val winners = cands
-      .groupBy(col("cand"))
-      .agg(min(struct(col("parent_ord"), col("link_index"), col("depth"))).as("w"),
-        count(lit(1)).as("grp_n"))
-      .select(col("cand"),
-        col("w").getField("parent_ord").as("parent_ord"),
-        col("w").getField("link_index").as("link_index"),
-        (col("w").getField("depth") + 1).as("depth"),
-        xxhash64(col("cand")).as("url_hash"),
-        col("grp_n"))
-      .observe(obsWinners, sum(col("grp_n")).as("n_cand"))
-      .persist()
-    mark("winners_plan")
+      // --- within-wave first-wins + cross-wave dedup (D2/D3) ------------
+      // grp_n (candidates folded into each winner) makes the group-agg
+      // carry the dedup accounting — the candidate total is summed from
+      // the CACHE after the seen write populates it (deterministic:
+      // exactly-once regardless of cache races or task retries).
+      val winners = cands
+        .groupBy(col("cand"))
+        .agg(min(struct(col("parent_ord"), col("link_index"), col("depth"))).as("w"),
+          count(lit(1)).as("grp_n"))
+        .select(col("cand"),
+          col("w").getField("parent_ord").as("parent_ord"),
+          col("w").getField("link_index").as("link_index"),
+          (col("w").getField("depth") + 1).as("depth"),
+          xxhash64(col("cand")).as("url_hash"),
+          col("grp_n"))
+        .persist()
+      mark("winners_plan")
 
-    // bloom prefilter: bloom-negative rows are provably unseen and skip
-    // the anti-join; bloom-positive rows get exact confirmation. The probe
-    // is a native codegen expression (no UDF boxing in the hot path).
-    val bfB = spark.sparkContext.broadcast(pre)
-    val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
-    val fresh = winners.filter(!mightContain)
-    val maybe = winners.filter(mightContain)
-    val confirmed = maybe.join(seenHashes, Seq("url_hash"), "left_anti")
-    // --- robots compiled to a Catalyst predicate (O8) --------------------
-    val path = coalesce(nullif(parse_url(col("cand"), lit("PATH")), lit("")), lit("/"))
-    val allowed = Robots.compile(rules, col("host"), path)
-    val newSeen = fresh.unionByName(confirmed)
-      .withColumn("host", url_host(col("cand")))
-      .withColumn("__allowed", allowed)
-      .persist()
+      // prefilter: filter-negative rows are provably unseen and skip the
+      // anti-join; filter-positive rows get exact confirmation against
+      // the bucketed seen pieces (one candidate-side exchange, zero seen-
+      // side exchange — SeenState class doc). The probe is a native
+      // codegen expression (no UDF boxing in the hot path).
+      val bfB = spark.sparkContext.broadcast(seen.prefilter)
+      val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
+      val fresh = winners.filter(!mightContain)
+      val maybe = winners.filter(mightContain)
+      val confirmed = seen.antiJoin(maybe)
+      // --- robots decision through the size-adaptive policy (O8) --------
+      val path = coalesce(nullif(parse_url(col("cand"), lit("PATH")), lit("")), lit("/"))
+      val newSeen = policy.withAllowed(
+          fresh.unionByName(confirmed).withColumn("host", url_host(col("cand"))),
+          path, "__allowed")
+        .persist()
 
-    // seen append carries the dedup/robots counters AND the wave's bloom
-    // filter via observe — no standalone bloom job (it was a full extra
-    // pass over the wave's new URLs)
-    val obsSeen = Observation(s"seen$wave")
-    t.seen.append(
-      newSeen
-        .observe(obsSeen, count(lit(1)).as("n"),
-          sum(when(col("__allowed"), 1L).otherwise(0L)).as("adm"),
-          bloomAgg(col("url_hash"), cfg.bloomItems, cfg.bloomFpp).as("bf"))
-        .select(col("url_hash"), col("cand").as("url"), lit(wave + 1).as("wave")),
-      Map("wave" -> wave.toLong))
-    val nNewSeen = obsSeen.get("n").asInstanceOf[Long]
-    val nAdmitted = Option(obsSeen.get("adm")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val waveBloomBytes = obsSeen.get("bf").asInstanceOf[Array[Byte]]
-    // the winners metric landed while the seen write populated the cache
-    val nCand = Option(obsWinners.get("n_cand")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // seen append carries the dedup/robots counters via observe (the
+      // write job computes each row exactly once — safe for metrics)
+      val obsSeen = Observation(obsName(s"seen$wave"))
+      t.seen.append(
+        newSeen
+          .observe(obsSeen, count(lit(1)).as("n"),
+            sum(when(col("__allowed"), 1L).otherwise(0L)).as("adm"))
+          .select(col("url_hash"), col("cand").as("url"), lit(wave + 1).as("wave")),
+        Map("wave" -> wave.toLong))
+      val nNewSeen = obsSeen.get("n").asInstanceOf[Long]
+      val nAdmitted = Option(obsSeen.get("adm")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      mark("seen_write")
+      // deterministic candidate total off the populated winners cache
+      val nCand = Option(winners.agg(sum(col("grp_n"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val admitted = newSeen.filter(col("__allowed"))
+
+      // fold the wave's hashes into the seen state (pieces + filters)
+      if (nNewSeen > 0) seen.addWave(newSeen.select(col("url_hash")))
+      mark("seen_fold")
+
+      // --- bounded fetch-miss retry (cuckoo unsee path) ------------------
+      val (retryRows, nRetried, missCache) =
+        if (cfg.maxRetries <= 0) (null: DataFrame, 0L, null: DataFrame)
+        else {
+          val misses = joined.filter(col("doc_id").isNull).select(frontierCols: _*)
+          val prevFails = t.failed
+            .readOr(spark.range(0).select(col("id").as("url_hash"), col("id").as("fails")))
+            .groupBy(col("url_hash")).agg(max(col("fails")).as("__pf"))
+          val missF = misses.join(prevFails, Seq("url_hash"), "left_outer")
+            .withColumn("fails", coalesce(col("__pf"), lit(0L)) + lit(1L))
+            .drop("__pf")
+            .persist()
+          val obsFail = Observation(obsName(s"failed$wave"))
+          t.failed.append(
+            missF.observe(obsFail,
+                sum(when(col("fails") <= cfg.maxRetries, 1L).otherwise(0L)).as("r"))
+              .select(col("url_hash"), col("fails")),
+            Map("wave" -> wave.toLong))
+          val nR = Option(obsFail.get("r")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          val rr = missF.filter(col("fails") <= cfg.maxRetries).select(frontierCols: _*)
+          // un-see the retried hashes in the cuckoo bank (delete, then
+          // re-insert: they remain in the exact seen set — direct
+          // re-admission below, link rediscovery still dedups)
+          if (nR > 0) seen.unseeReinsert(rr.select(col("url_hash")))
+          (rr, nR, missF)
+        }
+
+      var nf = deferred0.unionByName(
+        admitted.select(col("cand").as("url"), col("url_hash"), col("host"),
+          col("depth"), col("parent_ord"), col("link_index")))
+      if (retryRows != null) nf = nf.unionByName(retryRows)
+      val nextSize = nDeferred + nAdmitted + nRetried
+      (nCand, nNewSeen, nAdmitted, nRetried, nf, nextSize,
+        Seq(winners, newSeen) ++ Option(missCache).toSeq)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(Await.ready(docSinks, Duration.Inf))
+        throw e
+    }
     val nDedup = nCand - nNewSeen
-    mark("seen_write")
     val nRobots = nNewSeen - nAdmitted
-    val admitted = newSeen.filter(col("__allowed"))
 
     // --- commit state (atomic IceLite snapshots; parquet round-trip
     //     truncates lineage across waves). The doc sinks must be durable
@@ -333,11 +359,7 @@ object CrawlJob {
     val nHits = obsDocs.get("n").asInstanceOf[Long]
     val nMiss = nFetch - nHits
     mark("docs_await")
-    val nextFrontier = deferred0.unionByName(
-      admitted.select(col("cand").as("url"), col("url_hash"), col("host"),
-        col("depth"), col("parent_ord"), col("link_index")))
-    val nextSize = nDeferred + nAdmitted
-    val metrics = WaveMetrics(wave, nHits, nDeferred, nRobots, nDedup, nMiss)
+    val metrics = WaveMetrics(wave, nHits, nDeferred, nRobots, nDedup, nMiss, nRetried)
     val counters = countersOf(metrics) +
       ("next_wave" -> (wave + 1L)) + ("frontier_size" -> nextSize)
     val nextP = math.max(1, math.min(cfg.numPartitions,
@@ -348,38 +370,14 @@ object CrawlJob {
     t.metrics.append(Seq(metrics).toDF().coalesce(1), Map("wave" -> wave.toLong))
     mark("frontier_commit")
 
-    // wave-local filter of the new hashes, merged by the caller — the
-    // bloom came back with the seen write's observed metrics
-    val useCuckoo = cfg.seenFilter == "cuckoo"
-    val waveBloom =
-      if (nNewSeen == 0 || useCuckoo || waveBloomBytes == null) null
-      else BloomFilter.readFrom(waveBloomBytes)
-    val waveCuckoo =
-      if (nNewSeen == 0 || !useCuckoo) null
-      else {
-        import graft.functions.CuckooFilterAgg.cuckoo_filter_agg
-        graft.functions.CuckooFilterImpl.deserialize(
-          newSeen.agg(cuckoo_filter_agg(col("url_hash"), cfg.bloomItems))
-            .head.getAs[Array[Byte]](0))
-      }
-
-    mark("bloom_build")
-    // keep the wave's seen hashes cached as the next waves' anti-join
-    // piece; localCheckpoint truncates lineage so the piece outlives this
-    // wave's bloom broadcast (destroyed below) and keeps plan depth flat
-    val newPiece =
-      if (nNewSeen == 0) null
-      else newSeen.select(col("url_hash")).localCheckpoint(true)
-
-    Seq(deferred0, fetchSet, joined, winners, newSeen).foreach(_.unpersist())
-    bfB.destroy()
-    (metrics, nextSize, waveBloom, waveCuckoo, newPiece)
+    (Seq(deferred0, fetchSet, joined) ++ toFree).foreach(_.unpersist())
+    (metrics, nextSize)
   }
 
   private def countersOf(m: WaveMetrics): Map[String, Long] = Map(
     "fetched" -> m.fetched, "deferred" -> m.deferred,
     "robots_blocked" -> m.robots_blocked, "dedup_hits" -> m.dedup_hits,
-    "fetch_miss" -> m.fetch_miss)
+    "fetch_miss" -> m.fetch_miss, "retried" -> m.retried)
 
   /** Golden visit order: dense rank materialized once, at emission. */
   def visitOrder(spark: SparkSession, stateRoot: String, partitions: Int = 32): DataFrame = {

@@ -121,6 +121,112 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEquivalent(o, root, m)
   }
 
+  test("bounded retry (cuckoo unsee): engine replays oracle incl. retried counter") {
+    val cfg = Corpus.Config(nHosts = 6, pagesPerHost = 8, linksPerPage = 6, seed = 13L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/0", "http://site1.example.org/p/0")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 2, maxRetries = 2))
+    assert(o.metrics.map(_.retried).sum > 0, "fixture must exercise retries")
+    assert(o.visits.map(_.url).size > o.visits.map(_.url).distinct.size,
+      "a retried URL must consume a second rank")
+    val root = tmpDir("retry")
+    val m = CrawlJob.run(spark, corpusDf(corpus), rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 2, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+        seenFilter = "cuckoo", maxRetries = 2), root)
+    assertEquivalent(o, root, m)
+  }
+
+  test("retry survives kill/resume (failed-table round trip)") {
+    val cfg = Corpus.Config(nHosts = 6, pagesPerHost = 8, linksPerPage = 6, seed = 13L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/0")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 2, maxRetries = 1))
+    val df = corpusDf(corpus)
+    val root = tmpDir("retry-resume")
+    def cfgJob(waves: Int) = CrawlJob.Config(seeds, onDomain = false, hostBudget = 2,
+      maxWaves = waves, numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+      seenFilter = "cuckoo", maxRetries = 1)
+    val m1 = CrawlJob.run(spark, df, rules, cfgJob(3), root)
+    val m2 = CrawlJob.run(spark, df, rules, cfgJob(64), root)
+    assertEquivalent(o, root, m1 ++ m2)
+  }
+
+  test("10^4 ruled hosts: the packed-join robots path replays the oracle") {
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4, seed = 21L)
+    val corpus = Corpus.generate(cfg)
+    // pad the real rules with 10^4 hosts the crawl never touches: forces
+    // the Joined (broadcast packed-rules) path while keeping the oracle
+    // decision surface identical
+    val rules = Corpus.robotsRules(cfg) ++ (0 until 10000).map { i =>
+      graft.model.RobotsRule(s"pad$i.example.net", "/blocked", allow = false,
+        crawl_delay = 1 + i % 5)
+    }
+    assert(rules.map(_.host).distinct.size > 64)
+    val seeds = Seq("http://hot.example.com/p/0")
+    val o = CrawlOracle.run(corpus, rules, CrawlOracle.CrawlConfig(seeds, hostBudget = 3))
+    val root = tmpDir("bigrules")
+    val m = CrawlJob.run(spark, corpusDf(corpus), rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(o, root, m)
+  }
+
+  test("graceful stop finishes the wave, commits, and resumes bit-exact") {
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/2")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3))
+    val df = corpusDf(corpus)
+    val root = tmpDir("gstop")
+    // stop flag goes true while wave 1 is in flight (the loop polls
+    // between waves): 2 waves complete, both committed
+    var polls = 0
+    val m1 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+        stopRequested = () => { polls += 1; polls > 2 }), root)
+    assert(m1.size == 2, s"graceful stop should land after wave 2, got ${m1.size}")
+    val m2 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(o, root, m1 ++ m2)
+  }
+
+  test("crash with seen committed but docs not: resume trims both, stays exact") {
+    import spark.implicits._
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/2")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3))
+    val df = corpusDf(corpus)
+    val root = tmpDir("seenfirst")
+    val m1 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 2,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    // simulate the widest crash interleaving the concurrent doc sinks
+    // allow: wave 2's SEEN (and visits) landed, docs/frontier did not
+    val t = CrawlJob.tables(root, spark)
+    t.seen.append(
+      Seq(graft.model.SeenUrl(123456789L, "http://phantom.example.com/x", 2)).toDF(),
+      Map("wave" -> 2L))
+    t.visits.append(
+      Seq((999999L, 2, "http://phantom.example.com/x", 9)).toDF("ord", "wave", "url", "depth"),
+      Map("wave" -> 2L))
+    val m2 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(o, root, m1 ++ m2)
+  }
+
   test("kill after wave k, resume: final state identical to uninterrupted run") {
     val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
     val corpus = Corpus.generate(cfg)

@@ -64,6 +64,26 @@ class CuckooFilterSpec extends AnyFunSuite {
     hs.take(100).foreach(h => assert(got(h), "false negative via expression"))
   }
 
+  test("deleteInPlace removes one occurrence per member of the delta filter") {
+    val f = CuckooFilterImpl.create(8000)
+    val keep = hashes(3000, 7)
+    val drop = hashes(3000, 8)
+    (keep ++ drop).foreach(f.insert)
+    val before = f.occupancy
+    val delta = CuckooFilterImpl.create(8000)
+    drop.foreach(delta.insert)
+    f.deleteInPlace(delta)
+    // every deleted occurrence frees exactly one slot
+    assert(f.occupancy == before - delta.occupancy,
+      s"occupancy ${f.occupancy} != ${before - delta.occupancy}")
+    // the multiset guarantee: members NOT in the delta never go false-negative
+    keep.foreach(h => assert(f.mightContain(h), "deleteInPlace broke a kept member"))
+    // and re-merging the same delta restores everything (the engine's
+    // unsee-then-readmit round trip)
+    f.mergeInPlace(delta)
+    (keep ++ drop).foreach(h => assert(f.mightContain(h), "member lost after re-merge"))
+  }
+
   test("merge relocates fingerprints without losing members") {
     val a = CuckooFilterImpl.create(4000)
     val b = CuckooFilterImpl.create(4000)

@@ -77,6 +77,62 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs product in near-dup plan:\n${plan.take(3000)}")
   }
 
+  test("seen anti-join exchanges ONLY the candidate side (bucket-aligned LSM)") {
+    import spark.implicits._
+    // force the big-data join path: at 10^10 the seen pieces are far past
+    // any broadcast threshold (at test scale Spark would rightly broadcast
+    // them, which ALSO exchanges zero candidate partitions — the property
+    // under test is the non-broadcast regime)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val seen = new graft.plans.SeenState(spark, buckets = 4, useCuckoo = false,
+        expectedItems = 10000L, fpp = 0.01, compactAt = 8)
+      seen.bootstrap(spark.range(0, 1000).select(xxhash64(col("id")).as("url_hash"),
+        col("id").cast("string").as("url")))
+      // two more pieces → a 3-join chain
+      seen.addWave(spark.range(1000, 1200).select(xxhash64(col("id")).as("url_hash")))
+      seen.addWave(spark.range(1200, 1400).select(xxhash64(col("id")).as("url_hash")))
+      val cands = spark.range(500, 2000).select(xxhash64(col("id")).as("url_hash"))
+      val out = seen.antiJoin(cands)
+      out.collect() // force final (AQE) plan
+      val full = out.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==")(0) // final (executed) plan only
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected exactly 1 exchange (candidate side), got $exchanges:\n${plan.take(4000)}")
+      // the piece side must arrive pre-sorted too (no per-join Sort)
+      val sorts = "\\bSort \\[".r.findAllIn(plan).size
+      assert(sorts == 1, s"expected 1 sort (candidate side), got $sorts:\n${plan.take(4000)}")
+      // correctness of the chain itself
+      val got = out.collect().map(_.getLong(0)).toSet
+      val byId = spark.range(0, 2000)
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (1400L until 2000L).map(byId).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("politeness budget via Joined policy matches Compiled policy") {
+    import spark.implicits._
+    val rules = (0 until 200).map(h =>
+      graft.model.RobotsRule(s"h$h.com", "/", allow = true, crawl_delay = 1 + h % 4))
+    val frontier = spark.range(0, 2000)
+      .select(concat(lit("http://h"), pmod(col("id"), lit(300)), lit(".com/p/"), col("id"))
+          .as("url"),
+        xxhash64(col("id")).as("url_hash"),
+        concat(lit("h"), pmod(col("id"), lit(300)), lit(".com")).as("host"),
+        lit(1).as("depth"), col("id").as("parent_ord"), lit(0).as("link_index"))
+    val compiled = Robots.Compiled(rules)
+    val joined = Robots.Joined(Robots.packRules(rules.toDF()))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0))).toSet
+    val (fc, dc) = graft.operators.Politeness.select(frontier, compiled, 8, 4)
+    val (fj, dj) = graft.operators.Politeness.select(frontier, joined, 8, 4)
+    assert(key(fc) == key(fj) && key(dc) == key(dj))
+  }
+
   test("fetch join broadcasts the small frontier side when hinted") {
     import spark.implicits._
     val docs = (0 until 1000).map(i => (s"http://h/$i", i)).toDF("doc_id", "x")
