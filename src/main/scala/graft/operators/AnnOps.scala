@@ -141,14 +141,31 @@ object AnnOps {
 
   private val npCte = s"np AS (SELECT $nPlanesSqlExpr AS np FROM embeddings)"
 
-  /** Query-side multi-probe buckets: the exact bucket plus each hamming-1
-    * flip — nPlanes+1 distinct probes. */
-  private def probeArray(bucket: Column, nPlanes: Int): Column =
-    array((Seq(bucket) ++ (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p)))): _*)
+  /** Multi-probe bucket list: the exact bucket, every hamming-1 flip,
+    * and (radius 2) every hamming-2 flip — 1 + np + np(np-1)/2 distinct
+    * probes. Radius 2 is the QUERY-side default (queries are few; at
+    * np=20 it probes 211 of 2^20 buckets — 0.02% of the corpus); the
+    * d5 self-join keeps radius 1 because there the probe factor
+    * multiplies the whole corpus's shuffle volume. */
+  def probeArray(bucket: Column, nPlanes: Int, radius: Int): Column = {
+    val r1 = (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p)))
+    val r2 =
+      if (radius < 2) Seq.empty
+      else for { p <- 0 until nPlanes; q <- (p + 1) until nPlanes }
+        yield bucket.bitwiseXOR(lit((1L << p) + (1L << q)))
+    array((Seq(bucket) ++ r1 ++ r2): _*)
+  }
 
-  private val probeListSql: String =
-    "list_prepend(bucket, list_transform(generate_series(1, np.np), " +
-      "i -> xor(bucket, (1::BIGINT << (i-1)))))"
+  /** DuckDB twin of [[probeArray]] (expects `bucket` and `np.np` in
+    * scope). */
+  def probeListSql(radius: Int): String = {
+    val r1 = "list_transform(generate_series(1, np.np), i -> xor(bucket, (1::BIGINT << (i-1))))"
+    val r2 = "flatten(list_transform(generate_series(0, np.np - 2), " +
+      "p -> list_transform(generate_series(p + 1, np.np - 1), " +
+      "q -> xor(bucket, (1::BIGINT << p) + (1::BIGINT << q)))))"
+    if (radius < 2) s"list_prepend(bucket, $r1)"
+    else s"list_prepend(bucket, list_concat($r1, $r2))"
+  }
 
   /** a2: sign-random-projection bucket id per vector (the LSH partition
     * step; search = same hash on the query + a bucket-local scan). */
@@ -167,11 +184,15 @@ object AnnOps {
        |SELECT vec_id, ($srpBucketSqlMasked)::BIGINT AS bucket, label::BIGINT AS label
        |FROM embeddings, np ORDER BY vec_id""".stripMargin
 
+  /** Query-side probe radius for a3 (see [[probeArray]]). */
+  val QueryProbeRadius = 2
+
   /** a3: multi-probe LSH ANN — top-TopK cosine neighbors across the
-    * query's probe buckets (exact bucket + hamming-1 ring). The probed
-    * fraction is (np+1)/2^np of the corpus — at np=20 that is ~0.002%,
-    * the pruning that makes 10^9-vector search tractable; recall vs the
-    * a1 ground truth is reported by AnnRecallSpec/Bench. */
+    * query's probe buckets (exact bucket + hamming-≤2 ring). The probed
+    * fraction is (1 + np + np(np-1)/2)/2^np of the corpus — at np=20
+    * that is ~0.02%, the pruning that makes 10^9-vector search
+    * tractable; recall vs the a1 ground truth is reported by
+    * AnnRecallSpec and in BENCH.md. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val np = nPlanesFor(embCount(s, dir))
@@ -179,7 +200,7 @@ object AnnOps {
       srpBucket($"embedding", np).as("bucket"), norm($"embedding").as("nrm"))
     val q = e.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"),
-        explode(probeArray($"bucket", np)).as("bucket"))
+        explode(probeArray($"bucket", np, QueryProbeRadius)).as("bucket"))
     val joined = e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -197,7 +218,7 @@ object AnnOps {
        |b AS (SELECT vec_id, embedding, ($srpBucketSqlMasked)::BIGINT AS bucket
        |      FROM embeddings, np),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < $NQueries),
-       |qp AS (SELECT query_id, qv, unnest($probeListSql) AS bucket FROM q, np),
+       |qp AS (SELECT query_id, qv, unnest(${probeListSql(QueryProbeRadius)}) AS bucket FROM q, np),
        |sims AS (
        |  SELECT qp.query_id, b.vec_id AS neighbor_id,
        |    round(list_dot_product(qp.qv::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -58,6 +58,50 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming seed intake, stage 1 (stateless transforms): validated
+    * requests → frontier-entry-shaped rows. `seq` is the request's global
+    * arrival number; it becomes link_index, exactly the "position in the
+    * seed list" the batch path uses — so intake order IS seed order. */
+  def seedEntries(requests: DataFrame): DataFrame =
+    validateRequests(requests)
+      .filter(col("status") === 201)
+      .select(
+        col("canonical_url").as("url"),
+        xxhash64(col("canonical_url")).as("url_hash"),
+        url_host(col("canonical_url")).as("host"),
+        lit(0).as("depth"),
+        lit(0L).as("parent_ord"),
+        col("seq").cast("int").as("link_index"))
+
+  /** Streaming seed intake, stage 2 (the per-micro-batch sink): first-wins
+    * within the batch (lowest seq), insert-if-new against the durable
+    * url_seen table, then append to BOTH the frontier and url_seen IceLite
+    * tables — the same admission semantics as CrawlJob's batch seed path,
+    * applied incrementally. A crawl resumed against the state root picks
+    * the new seeds up as wave-0 frontier entries. */
+  def admitSeedBatch(spark: SparkSession,
+      frontier: graft.sources.IceLite.Table,
+      seen: graft.sources.IceLite.Table)(batch: DataFrame, batchId: Long): Unit = {
+    val winners = batch
+      .groupBy(col("url_hash"))
+      .agg(min(struct(col("link_index"), col("url"), col("host"),
+        col("depth"), col("parent_ord"))).as("w"))
+      .select(col("w.url").as("url"), col("url_hash"), col("w.host").as("host"),
+        col("w.depth").as("depth"), col("w.parent_ord").as("parent_ord"),
+        col("w.link_index").as("link_index"))
+    val unseen =
+      if (seen.isEmpty) winners
+      else winners.join(seen.read().select("url_hash"), Seq("url_hash"), "left_anti")
+    val admitted = unseen
+      .select(col("url"), col("url_hash"), col("host"), col("depth"),
+        col("parent_ord"), col("link_index"))
+      .persist()
+    frontier.append(admitted, Map("intake_batch" -> batchId))
+    seen.append(admitted.select(col("url_hash"), col("url"), lit(0).as("wave")),
+      Map("intake_batch" -> batchId))
+    admitted.unpersist()
+  }
+
   final case class HostEvent(host: String, ts: Long)
   final case class HostState(nextAllowed: Long, fetched: Long, deferred: Long)
   final case class HostDecision(host: String, ts: Long, admitted: Boolean)

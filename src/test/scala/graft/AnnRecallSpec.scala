@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{AnnOps, DedupOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall of the pruned ANN paths against brute-force ground truth.
+  * Everything here is deterministic (fixed data, fixed hashes), so the
+  * asserted floors are exact regression gates, not statistical hopes.
+  *
+  * Context for the absolute numbers: the synthetic embeddings are
+  * ISOTROPIC (measured same-label avg cosine ≈ 0.0008 — no cluster
+  * structure), which is SRP-LSH's worst case: the true top-10 sit at
+  * cosine ≈ 0.35, so P(one hyperplane agrees) ≈ 1 − arccos(0.35)/π ≈
+  * 0.61 and hamming distances spread almost uniformly. On a real
+  * embedding corpus (near-dups at cosine ≥ 0.9 → P(agree) ≈ 0.86) the
+  * same probe radius yields far higher recall at far less probing.
+  * BENCH.md carries the measured numbers per scale factor. */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def topSets(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.filter(col("rank") <= k).select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("a3 multi-probe LSH recall@10 vs a1 brute force") {
+    val gt = topSets(AnnOps.bruteForceTopK(spark, sf), AnnOps.TopK)
+    val lsh = topSets(AnnOps.lshTopK(spark, sf), AnnOps.TopK)
+    val recalls = gt.map { case (q, want) =>
+      want.intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    println(f"[recall] a3_lsh_recall_at_10 sf0.01 = $recall%.3f " +
+      s"(np=4, radius=${AnnOps.QueryProbeRadius}, probing 11/16 buckets)")
+    assert(recall >= 0.8, f"a3 recall regressed: $recall%.3f")
+  }
+
+  test("a4 trained-IVF recall@3 vs brute force") {
+    val gt = topSets(AnnOps.bruteForceTopK(spark, sf), AnnOps.IvfK)
+    val ivf = topSets(AnnOps.ivfTopK(spark, sf), AnnOps.IvfK)
+    val recalls = gt.map { case (q, want) =>
+      want.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    println(f"[recall] a4_ivf_recall_at_3 sf0.01 = $recall%.3f " +
+      s"(k=${AnnOps.NCentroids} trained cells, nprobe=${AnnOps.NProbeCells})")
+    assert(recall >= 0.3, f"a4 recall regressed: $recall%.3f")
+  }
+
+  test("d5 near-dup pair recall vs brute-force threshold pairs") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val withN = e.withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
+    val l = withN.select($"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val r = withN.select($"vec_id".as("b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val brute = l.join(r, $"a" < $"b")
+      .filter(round(dot($"ea", $"eb") / ($"na" * $"nb"), 6) >= DedupOps.CosineThreshold)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val found = DedupOps.embeddingNearDup(spark, sf)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = found.intersect(brute).size.toDouble / math.max(1, brute.size)
+    println(f"[recall] d5_pair_recall sf0.01 = $recall%.3f " +
+      s"(${brute.size} true pairs; radius-1 probing — the self-join side " +
+      "multiplies corpus shuffle, so d5 trades recall for volume; " +
+      "banded MinHash (d2) is the high-recall text path)")
+    assert(recall >= 0.5, f"d5 recall regressed: $recall%.3f")
+    // and zero false positives by construction (exact cosine verification)
+    assert(found.subsetOf(brute))
+  }
+}

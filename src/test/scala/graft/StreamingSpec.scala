@@ -1,5 +1,6 @@
 package graft
 
+import graft.plans.CrawlJob
 import graft.streaming.StreamOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -41,6 +42,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUrl("http://ok.com/y")._2 == 400)
     assert(byUrl("http://ok.com/z")._2 == 400)
     assert(byUrl("not a url") == (None, 400))
+  }
+
+  test("streaming seed intake lands frontier rows identical to the batch seed path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the seed list, with a post-canonicalization duplicate (#2) and an
+    // invalid URL (#3) — both consume a seq/index, exactly like the batch
+    // path's seeds.zipWithIndex
+    val seeds = Seq(
+      "http://HOT.example.com:80/p/0#frag",
+      "http://site1.example.org/p/0?b=2&a=1",
+      "http://hot.example.com/p/0", // dup of #0 after canonicalization
+      "not a url",
+      "http://site2.example.org/p/9")
+
+    // batch twin: CrawlJob's fresh-init seed admission (maxWaves=0 → init only)
+    val root1 = java.nio.file.Files.createTempDirectory("graft-intake-batch").toString
+    CrawlJob.run(spark, spark.emptyDataset[graft.model.WebDoc].toDF(), Seq.empty,
+      graft.plans.CrawlJob.Config(seeds, maxWaves = 0, numPartitions = 2), root1)
+
+    // streaming twin: the same seeds as CrawlRequests over TWO micro-batches
+    val root2 = java.nio.file.Files.createTempDirectory("graft-intake-stream").toString
+    val t = CrawlJob.tables(root2, spark)
+    val input = MemoryStream[(String, String, Boolean, String, String, Timestamp, Long)]
+    val df = input.toDF().toDF("index", "url", "on_domain", "engine", "type", "ts", "seq")
+    def req(i: Int) = ("idx", seeds(i), false, "eng", "elasticsearch",
+      Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong)
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamOps.admitSeedBatch(spark, t.frontier, t.seen)
+    val q = StreamOps.seedEntries(df)
+      .writeStream
+      .foreachBatch(sink)
+      .start()
+    input.addData(req(0), req(1))          // micro-batch 1
+    q.processAllAvailable()
+    input.addData(req(2), req(3), req(4))  // micro-batch 2 (dup + invalid)
+    q.processAllAvailable()
+    q.stop()
+
+    def frontierRows(root: String) =
+      CrawlJob.tables(root, spark).frontier.read()
+        .select("url", "url_hash", "host", "depth", "parent_ord", "link_index")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3),
+          r.getLong(4), r.getInt(5))).toSet
+    def seenRows(root: String) =
+      CrawlJob.tables(root, spark).seen.read().select("url_hash", "url")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(frontierRows(root2) == frontierRows(root1),
+      s"stream=${frontierRows(root2)}\nbatch=${frontierRows(root1)}")
+    assert(seenRows(root2) == seenRows(root1))
+    // two separate intake commits landed (one per micro-batch)
+    assert(t.frontier.snapshots.count(_.counters.contains("intake_batch")) == 2)
   }
 
   test("watermarked event windows aggregate a replayed batch") {
