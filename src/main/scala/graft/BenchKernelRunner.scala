@@ -72,6 +72,7 @@ object BenchKernelRunner {
       numPartitions = parts)
     val wall = (System.nanoTime() - t0) / 1e9
     frontier.unpersist()
+    seen.close()
     (wall, r.scheduled + r.newUrls + r.dedupHits)
   }
 }

@@ -224,22 +224,33 @@ object DedupOps {
     val d = docs(s, dir).select($"doc_id", $"lang",
       (length($"text") / 100).cast("int").as("lb"),
       shingleHash(shingles($"text")).as("hs"))
-    val sizes = d.groupBy($"lang", $"lb").agg(count(lit(1)).as("__bn"))
-      .select($"lang", $"lb", ceil($"__bn" / lit(BlockCap.toDouble)).cast("int").as("__G"))
+    triangleJaccardPairs(d, BlockCap)
+  }
+
+  /** The exact triangle-join core over a (doc_id, lang, lb, hs) frame —
+    * factored out so the skew property (no cell wider than cap) is
+    * directly testable. */
+  private[graft] def triangleJaccardPairs(d: DataFrame, cap: Int): DataFrame = {
+    // NOTE: the group and group-count column names must differ in more
+    // than case — Spark resolves column names case-insensitively, so a
+    // "__g" withColumn would silently REPLACE a "__G" column.
+    val sizes = d.groupBy(col("lang"), col("lb")).agg(count(lit(1)).as("__bn"))
+      .select(col("lang"), col("lb"),
+        ceil(col("__bn") / lit(cap.toDouble)).cast("int").as("__ngroups"))
     val dg = d.join(broadcast(sizes), Seq("lang", "lb"))
-      .withColumn("__g", pmod(xxhash64($"doc_id"), $"__G").cast("int"))
-    val l = dg.select($"lang", $"lb", $"doc_id".as("da"), $"hs".as("hs_a"),
-      $"__g".as("i"), explode(sequence($"__g", $"__G" - 1)).as("j"))
-    val r = dg.select($"lang", $"lb", $"doc_id".as("db"), $"hs".as("hs_b"),
-      explode(sequence(lit(0), $"__g")).as("i"), $"__g".as("j"))
+      .withColumn("__grp", pmod(xxhash64(col("doc_id")), col("__ngroups")).cast("int"))
+    val l = dg.select(col("lang"), col("lb"), col("doc_id").as("da"), col("hs").as("hs_a"),
+      col("__grp").as("i"), explode(sequence(col("__grp"), col("__ngroups") - 1)).as("j"))
+    val r = dg.select(col("lang"), col("lb"), col("doc_id").as("db"), col("hs").as("hs_b"),
+      explode(sequence(lit(0), col("__grp"))).as("i"), col("__grp").as("j"))
     l.join(r, Seq("lang", "lb", "i", "j"))
-      .filter(($"i" =!= $"j") || ($"da" < $"db")) // diagonal cells dedup ordered pairs
-      .select($"lang",
-        least($"da", $"db").as("a"), greatest($"da", $"db").as("b"),
-        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("inter"),
-        size(array_union($"hs_a", $"hs_b")).cast("long").as("uni"))
-      .filter($"inter" * 10 >= $"uni" * 1) // keep pairs with jaccard >= 0.1
-      .orderBy($"lang", $"a", $"b")
+      .filter((col("i") =!= col("j")) || (col("da") < col("db"))) // diagonal dedups ordered pairs
+      .select(col("lang"),
+        least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 1) // keep pairs with jaccard >= 0.1
+      .orderBy(col("lang"), col("a"), col("b"))
   }
 
   val ngramJaccardPairsSql: String =

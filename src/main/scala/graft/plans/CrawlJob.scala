@@ -146,17 +146,19 @@ object CrawlJob {
     var frontierSize: Long = t.frontier.currentSnapshot
       .flatMap(_.counters.get("frontier_size")).getOrElse(0L)
     var done = false
-    while (!done && wave < cfg.maxWaves && !cfg.stopRequested()) {
-      val frontier = t.frontier.readOr(spark.emptyDataset[FrontierEntry].toDF())
-      if (t.frontier.isEmpty) { done = true }
-      else {
-        val (m, nextSize) = runWave(spark, t, docsDf, policy, cfg, wave, frontier,
-          frontierSize, seen, seedHosts)
-        out += m
-        frontierSize = nextSize
-        wave += 1
+    try {
+      while (!done && wave < cfg.maxWaves && !cfg.stopRequested()) {
+        val frontier = t.frontier.readOr(spark.emptyDataset[FrontierEntry].toDF())
+        if (t.frontier.isEmpty) { done = true }
+        else {
+          val (m, nextSize) = runWave(spark, t, docsDf, policy, cfg, wave, frontier,
+            frontierSize, seen, seedHosts)
+          out += m
+          frontierSize = nextSize
+          wave += 1
+        }
       }
-    }
+    } finally seen.close()
     out.result()
   }
 

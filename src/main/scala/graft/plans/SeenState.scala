@@ -179,6 +179,12 @@ final class SeenState(
     nCompactions += 1
   }
 
+  /** Release every persisted piece RDD (end of run / bench rep). */
+  def close(): Unit = {
+    pieces.foreach(GraftShim.freeCheckpoint)
+    pieces = Vector.empty
+  }
+
   // introspection (tests + trace)
   def pieceCount: Int = pieces.size
   def capacityPerBucket: Long = perBucketCap

@@ -10,6 +10,38 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("d4: triangle join equals plain all-pairs on one deliberately skewed block") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // 900 docs, ALL in one (lang, len-bucket) block — the web-corpus skew
+    // case where a plain block join computes 900²/2 pairs in one task
+    val d = spark.range(0, 900)
+      .select($"id".as("doc_id"), lit("en").as("lang"), lit(1).as("lb"),
+        array($"id" % 7, $"id" % 11, $"id" % 13).as("hs"))
+      .persist()
+    val tri = DedupOps.triangleJaccardPairs(d, cap = 100)
+    val plain = {
+      val l = d.select($"lang", $"lb", $"doc_id".as("a"), $"hs".as("hs_a"))
+      val r = d.select($"lang", $"lb", $"doc_id".as("b"), $"hs".as("hs_b"))
+      l.join(r, Seq("lang", "lb")).filter($"a" < $"b")
+        .select($"lang", $"a", $"b",
+          size(array_intersect($"hs_a", $"hs_b")).cast("long").as("inter"),
+          size(array_union($"hs_a", $"hs_b")).cast("long").as("uni"))
+        .filter($"inter" * 10 >= $"uni")
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("a", "b", "inter", "uni")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(tri) == key(plain), "triangle decomposition is not pair-exact")
+    assert(key(tri).nonEmpty)
+    // skew bound: with cap=100 over 900 docs → G=9 groups; no triangle
+    // cell's side exceeds ~2×cap docs (hash split), so no task computes
+    // more than ~(2·cap)² pairs instead of 900²/2
+    val cellWidths = d.withColumn("__g", pmod(xxhash64($"doc_id"), lit(9)))
+      .groupBy("__g").count().collect().map(_.getLong(1))
+    assert(cellWidths.max < 200, s"group split badly skewed: ${cellWidths.toSeq}")
+    d.unpersist()
+  }
+
   test("c1: canonicalized URLs are idempotent under the canonicalizer") {
     import graft.functions.UrlExpressions._
     val df = SparkEntry.queries("c1_canonicalize")(spark, sf)
@@ -57,14 +89,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
-  test("a1 vs a3: LSH top-k neighbors are a subset of candidates sharing the bucket") {
+  test("a1 vs a3: LSH top-k neighbors all sit within the query's probe ring") {
     val buckets = SparkEntry.queries("a2_ann_lsh_buckets")(spark, sf)
       .select(col("vec_id"), col("bucket"))
     val topk = SparkEntry.queries("a3_ann_lsh_topk")(spark, sf)
-    val joined = topk.join(buckets,
-        topk("neighbor_id") === buckets("vec_id"))
-      .filter(topk("bucket") =!= buckets("bucket"))
-    assert(joined.count() == 0, "a neighbor outside the query's bucket")
+    val nb = buckets.select(col("vec_id").as("nid"), col("bucket").as("nbkt"))
+    val qb = buckets.select(col("vec_id").as("qid"), col("bucket").as("qbkt"))
+    val joined = topk
+      .join(nb, topk("neighbor_id") === nb("nid"))
+      .join(qb, topk("query_id") === qb("qid"))
+      .filter(bit_count(col("nbkt").bitwiseXOR(col("qbkt"))) >
+        graft.operators.AnnOps.QueryProbeRadius)
+    assert(joined.count() == 0, "a neighbor outside the hamming-radius probe ring")
   }
 
   test("a1: brute-force cosine values are within [-1, 1]") {
@@ -83,21 +119,29 @@ class OperatorsSpec extends AnyFunSuite {
       .join(bruteBest, "query_id")
       .filter(col("cosine") > col("best") + 1e-9).count()
     assert(viol == 0, "IVF found a better neighbor than brute force")
-    // each query's cell is unique: all its neighbors carry the same cell
-    val cells = ivf.groupBy("query_id")
-      .agg(countDistinct(col("cell")).as("nc")).filter(col("nc") > 1).count()
-    assert(cells == 0)
+    // ranks are dense per query and neighbors never include the query
+    assert(ivf.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    val badRank = ivf.groupBy("query_id")
+      .agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(badRank == 0)
   }
 
-  test("d5: embedding near-dup pairs are same-bucket, deduped, above threshold") {
+  test("d5: embedding near-dup pairs are hamming-1 bucket mates, deduped, above threshold") {
     val pairs = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
     assert(pairs.filter(col("cosine") < graft.operators.DedupOps.CosineThreshold).count() == 0)
     assert(pairs.filter(col("a") >= col("b")).count() == 0, "unordered or self pair")
+    assert(pairs.groupBy("a", "b").count().filter(col("count") > 1).count() == 0,
+      "duplicate pair emitted by multi-probe")
     val buckets = SparkEntry.queries("a2_ann_lsh_buckets")(spark, sf)
-      .select(col("vec_id"), col("bucket").as("vb"))
-    val cross = pairs.join(buckets, pairs("a") === buckets("vec_id"))
-      .filter(col("bucket") =!= col("vb")).count()
-    assert(cross == 0, "pair bucket disagrees with member bucket")
+      .select(col("vec_id"), col("bucket"))
+    val ab = buckets.select(col("vec_id").as("aid"), col("bucket").as("abkt"))
+    val bb = buckets.select(col("vec_id").as("bid"), col("bucket").as("bbkt"))
+    val cross = pairs
+      .join(ab, pairs("a") === ab("aid"))
+      .join(bb, pairs("b") === bb("bid"))
+      .filter(bit_count(col("abkt").bitwiseXOR(col("bbkt"))) > 1).count()
+    assert(cross == 0, "pair outside the hamming-1 probe ring")
   }
 
   test("m2: frame digests are stable and stride-spaced") {
