@@ -153,7 +153,12 @@ object AnnOps {
       if (radius < 2) Seq.empty
       else for { p <- 0 until nPlanes; q <- (p + 1) until nPlanes }
         yield bucket.bitwiseXOR(lit((1L << p) + (1L << q)))
-    array((Seq(bucket) ++ r1 ++ r2): _*)
+    val r3 =
+      if (radius < 3) Seq.empty
+      else for {
+        p <- 0 until nPlanes; q <- (p + 1) until nPlanes; s <- (q + 1) until nPlanes
+      } yield bucket.bitwiseXOR(lit((1L << p) + (1L << q) + (1L << s)))
+    array((Seq(bucket) ++ r1 ++ r2 ++ r3): _*)
   }
 
   /** DuckDB twin of [[probeArray]] (expects `bucket` and `np.np` in
@@ -163,8 +168,13 @@ object AnnOps {
     val r2 = "flatten(list_transform(generate_series(0, np.np - 2), " +
       "p -> list_transform(generate_series(p + 1, np.np - 1), " +
       "q -> xor(bucket, (1::BIGINT << p) + (1::BIGINT << q)))))"
+    val r3 = "flatten(list_transform(generate_series(0, np.np - 3), " +
+      "p -> flatten(list_transform(generate_series(p + 1, np.np - 2), " +
+      "q -> list_transform(generate_series(q + 1, np.np - 1), " +
+      "s -> xor(bucket, (1::BIGINT << p) + (1::BIGINT << q) + (1::BIGINT << s)))))))"
     if (radius < 2) s"list_prepend(bucket, $r1)"
-    else s"list_prepend(bucket, list_concat($r1, $r2))"
+    else if (radius < 3) s"list_prepend(bucket, list_concat($r1, $r2))"
+    else s"list_prepend(bucket, list_concat(list_concat($r1, $r2), $r3))"
   }
 
   /** a2: sign-random-projection bucket id per vector (the LSH partition
@@ -185,12 +195,12 @@ object AnnOps {
        |FROM embeddings, np ORDER BY vec_id""".stripMargin
 
   /** Query-side probe radius for a3 (see [[probeArray]]). */
-  val QueryProbeRadius = 2
+  val QueryProbeRadius = 3
 
   /** a3: multi-probe LSH ANN — top-TopK cosine neighbors across the
-    * query's probe buckets (exact bucket + hamming-≤2 ring). The probed
-    * fraction is (1 + np + np(np-1)/2)/2^np of the corpus — at np=20
-    * that is ~0.02%, the pruning that makes 10^9-vector search
+    * query's probe buckets (exact bucket + hamming-≤3 ring). The probed
+    * fraction is O(np³)/2^np of the corpus — at np=20 that is 1351
+    * buckets of 2^20 ≈ 0.13%, the pruning that makes 10^9-vector search
     * tractable; recall vs the a1 ground truth is reported by
     * AnnRecallSpec and in BENCH.md. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {

@@ -32,8 +32,37 @@ class AnnRecallSpec extends AnyFunSuite {
     }
     val recall = recalls.sum / recalls.size
     println(f"[recall] a3_lsh_recall_at_10 sf0.01 = $recall%.3f " +
-      s"(np=4, radius=${AnnOps.QueryProbeRadius}, probing 11/16 buckets)")
-    assert(recall >= 0.8, f"a3 recall regressed: $recall%.3f")
+      s"(np=4, radius=${AnnOps.QueryProbeRadius})")
+    assert(recall >= 0.95, f"a3 recall regressed: $recall%.3f")
+  }
+
+  test("a3 recall on a CLUSTERED corpus (the realistic regime) with real pruning") {
+    import spark.implicits._
+    // plant 10k vectors in 64 clusters: center c = unit-ish vector from a
+    // seeded LCG, members = center + small noise → near neighbors at
+    // cosine ≈ 0.9+, which is what actual embedding corpora look like.
+    // 10k vectors → np=8 (256 buckets), radius-3 probes 93/256 ≈ 36%.
+    val rng = new java.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(64)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = (0 until 10000).map { i =>
+      val c = centers(i % 64)
+      val v = c.map(x => x + 0.15f * rng.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, (i % 64))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-clustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val gt = topSets(AnnOps.bruteForceTopK(spark, dir), AnnOps.TopK)
+    val lsh = topSets(AnnOps.lshTopK(spark, dir), AnnOps.TopK)
+    val recalls = gt.map { case (q, want) =>
+      want.intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    println(f"[recall] a3_lsh_recall_at_10 clustered(10k,64 clusters) = $recall%.3f " +
+      "(np=8, radius-3 probes 93/256 buckets)")
+    assert(recall >= 0.9, f"clustered recall below the target: $recall%.3f")
   }
 
   test("a4 trained-IVF recall@3 vs brute force") {
