@@ -11,6 +11,11 @@ trait LongMembership extends Serializable {
 }
 
 object LongMembership {
+  /** A bucket that never received a row (delta images only materialize
+    * the buckets the wave touched). */
+  case object Empty extends LongMembership {
+    def mightContain(h: Long): Boolean = false
+  }
   final case class Bloom(bf: BloomFilter) extends LongMembership {
     def mightContain(h: Long): Boolean = bf.mightContainLong(h)
   }

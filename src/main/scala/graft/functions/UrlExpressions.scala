@@ -96,29 +96,44 @@ object UrlExpressions {
     override protected def withNewChildInternal(c: Expression): UrlHost = copy(c)
   }
 
-  /** `might_contain_long(hash)` — probe of a broadcast approximate-
-    * membership filter (bloom or cuckoo), as a native expression so the
-    * probe stays inside whole-stage codegen. The Scala-UDF alternative
-    * boxes every hash and breaks the codegen span around the dedup
-    * prefilter — the hottest path of the engine (SURVEY §2.3 D3). */
+  /** `might_contain_long(hash)` — probe of broadcast approximate-
+    * membership LAYERS (a base filter image + per-wave deltas), as a
+    * native expression so the probe stays inside whole-stage codegen. A
+    * hash is "maybe seen" if ANY layer claims it (short-circuit `||`).
+    * The layers are SEPARATE broadcasts on purpose: the big base image
+    * ships to executors only on rebase/resize while each wave ships only
+    * its own wave-sized delta — per-wave driver→executor bytes are
+    * O(wave), never O(seen) (SeenState broadcast-LSM). The Scala-UDF
+    * alternative boxes every hash and breaks the codegen span around the
+    * dedup prefilter — the hottest path of the engine (SURVEY §2.3 D3). */
   case class MightContainLong(
       child: Expression,
-      set: org.apache.spark.broadcast.Broadcast[LongMembership])
+      sets: Seq[org.apache.spark.broadcast.Broadcast[LongMembership]])
     extends UnaryExpression {
+    require(sets.nonEmpty, "at least one membership layer")
     override def dataType: DataType = BooleanType
-    override def nullSafeEval(v: Any): Any = set.value.mightContain(v.asInstanceOf[Long])
+    override def nullSafeEval(v: Any): Any = {
+      val h = v.asInstanceOf[Long]
+      sets.exists(_.value.mightContain(h))
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("membershipBc", set,
-        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val refs = sets.map(s => ctx.addReferenceObj("membershipBc", s,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName))
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = ((graft.functions.LongMembership)$ref.value()).mightContain($c);")
+        s"${ev.value} = " + refs.map(r =>
+          s"((graft.functions.LongMembership)$r.value()).mightContain($c)")
+          .mkString(" || ") + ";")
     }
     override protected def withNewChildInternal(c: Expression): MightContainLong = copy(child = c)
   }
 
   def might_contain_long(c: Column,
       set: org.apache.spark.broadcast.Broadcast[LongMembership]): Column =
-    column(MightContainLong(expression(c), set))
+    column(MightContainLong(expression(c), Seq(set)))
+
+  def might_contain_any(c: Column,
+      sets: Seq[org.apache.spark.broadcast.Broadcast[LongMembership]]): Column =
+    column(MightContainLong(expression(c), sets))
 
   // Column-level API
   def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))

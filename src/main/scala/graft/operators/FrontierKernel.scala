@@ -48,10 +48,11 @@ object FrontierKernel {
 
     // 3. dedup: per-bucket prefilter + exact anti-join of filter-positives
     // against the bucketed pieces — the probe is a native codegen
-    // expression (no per-row boxing); the anti-join exchanges only the
-    // candidate side (the seen pieces are pre-partitioned on url_hash)
-    val bfB = spark.sparkContext.broadcast(seen.prefilter)
-    val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
+    // expression (no per-row boxing) over SeenState's layered broadcasts
+    // (base ships on rebase only; each wave ships just its delta image);
+    // the anti-join exchanges only the candidate side (the seen pieces
+    // are pre-partitioned on url_hash)
+    val mightContain = seen.probe(col("url_hash"))
     val fresh = fetchSet.filter(!mightContain)
     val maybe = fetchSet.filter(mightContain)
     val confirmed = seen.antiJoin(maybe)
@@ -72,7 +73,6 @@ object FrontierKernel {
     val nNew = obs.get("new").asInstanceOf[Long]
     val nAdm = Option(obs.get("adm")).map(_.asInstanceOf[Long]).getOrElse(0L)
     fetchSet.unpersist()
-    bfB.destroy()
     KernelResult(scheduled, frontierTotal - scheduled, nNew, scheduled - nNew, nNew - nAdm)
   }
 }

@@ -278,9 +278,11 @@ object CrawlJob {
       // anti-join; filter-positive rows get exact confirmation against
       // the bucketed seen pieces (one candidate-side exchange, zero seen-
       // side exchange — SeenState class doc). The probe is a native
-      // codegen expression (no UDF boxing in the hot path).
-      val bfB = spark.sparkContext.broadcast(seen.prefilter)
-      val mightContain = graft.functions.UrlExpressions.might_contain_long(col("url_hash"), bfB)
+      // codegen expression (no UDF boxing in the hot path) over the
+      // LAYERED broadcasts (base + per-wave deltas): this wave ships only
+      // the previous wave's delta image to executors, not the whole
+      // filter bank — O(wave) broadcast bytes, not O(seen).
+      val mightContain = seen.probe(col("url_hash"))
       val fresh = winners.filter(!mightContain)
       val maybe = winners.filter(mightContain)
       val confirmed = seen.antiJoin(maybe)
@@ -373,6 +375,11 @@ object CrawlJob {
     mark("frontier_commit")
 
     (Seq(deferred0, fetchSet, joined) ++ toFree).foreach(_.unpersist())
+    // wave boundary: every plan that referenced this wave's probe layers
+    // is committed + unpersisted, and the next wave's frontier lineage
+    // starts from the IceLite parquet — broadcasts retired by a rebase
+    // this wave are now unreachable and safe to destroy.
+    seen.releaseRetired()
     (metrics, nextSize)
   }
 

@@ -1,10 +1,9 @@
 package graft.plans
 
-import graft.functions.{CuckooFilterImpl, LongMembership}
+import graft.functions.{CuckooFilterImpl, LongMembership, UrlExpressions}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftShim
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -48,6 +47,19 @@ import org.apache.spark.util.sketch.BloomFilter
   *    re-admission; link rediscovery must still dedup against it). No
   *    driver-side collect: the delta rides the same distributed
   *    aggregate as the wave filters.
+  *  - **Broadcast LSM (per-wave broadcast bytes are O(wave)).** Shipping
+  *    the full filter bank to executors every wave would move O(seen)
+  *    bytes per wave (~12 GB at 10^10, 0.01 FPP). Instead the probe face
+  *    is layered: a BASE broadcast (the merged bucket filters, re-shipped
+  *    only on bootstrap/resize/rebase) plus one small per-wave DELTA
+  *    broadcast (bucket filters sized to the wave's own counts). The
+  *    probe ORs the layers inside codegen (MightContainLong). Every
+  *    `rebaseEvery` waves the deltas fold into a fresh base broadcast —
+  *    amortized base re-ship cost O(seen/rebaseEvery) per wave, bounded
+  *    probe depth ≤ rebaseEvery+1. Retired broadcasts are destroyed at
+  *    the caller's wave boundary ([[releaseRetired]]) — never mid-wave,
+  *    because a cache-evicted partition of a wave plan may recompute the
+  *    probe.
   */
 final class SeenState(
     spark: SparkSession,
@@ -55,7 +67,8 @@ final class SeenState(
     useCuckoo: Boolean,
     expectedItems: Long,
     fpp: Double,
-    compactAt: Int) {
+    compactAt: Int,
+    rebaseEvery: Int = 8) {
 
   private val B = buckets
   private var pieces: Vector[DataFrame] = Vector.empty
@@ -65,6 +78,10 @@ final class SeenState(
   private var cuckoos: Array[CuckooFilterImpl] = _
   private var nResizes: Int = 0
   private var nCompactions: Int = 0
+  private var nRebases: Int = 0
+  private var baseBc: Broadcast[LongMembership] = _
+  private var deltaBcs: Vector[Broadcast[LongMembership]] = Vector.empty
+  private var retiredBcs: Vector[Broadcast[LongMembership]] = Vector.empty
   allocEmptyFilters()
 
   private def allocEmptyFilters(): Unit =
@@ -93,24 +110,43 @@ final class SeenState(
         .sortWithinPartitions("url_hash"),
       "url_hash", B)
 
-  /** `bloom_filter_agg` as a Column, sized exactly like
-    * `BloomFilter.create(items, fpp)` so per-wave filters stay mergeable
-    * with the bucket filters. */
-  private def bloomAgg(c: Column, items: Long, f: Double): Column = {
-    val numBits = BloomFilter.optimalNumOfBits(items, f)
-    GraftShim.column(new BloomFilterAggregate(GraftShim.expression(c),
-      Literal(items), Literal(numBits)).toAggregateExpression())
-  }
+  /** One distributed pass: per-bucket filter images + exact counts.
+    * The input is repartitioned BY BUCKET first so the partial-aggregate
+    * phase holds ONE filter buffer per partition — without it every
+    * partition materializes a buffer for every bucket (partitions × B ×
+    * filterBytes), which at 10^8-row bootstraps is gigabytes of
+    * aggregation state. */
+  private def buildFilters(df: DataFrame): Array[(Int, Array[Byte], Long)] =
+    buildFiltersAt(df, perBucketCap)
 
-  /** One distributed pass: per-bucket filter images + exact counts. */
-  private def buildFilters(df: DataFrame): Array[(Int, Array[Byte], Long)] = {
+  private def buildFiltersAt(df: DataFrame, cap: Long): Array[(Int, Array[Byte], Long)] = {
+    // graft_bloom_agg, not Spark's bloom_filter_agg: the builtin clamps
+    // items to the 4M runtime-filter conf while keeping the caller's bit
+    // count, so its buffers stop merging with BloomFilter.create(...)
+    // filters once a bucket resizes past 4M (see BloomFilterAgg doc)
     val aggC =
       if (useCuckoo)
-        graft.functions.CuckooFilterAgg.cuckoo_filter_agg(col("url_hash"), perBucketCap)
-      else bloomAgg(col("url_hash"), perBucketCap, fpp)
-    df.groupBy(bucketCol.as("__b")).agg(aggC.as("f"), count(lit(1)).as("n"))
+        graft.functions.CuckooFilterAgg.cuckoo_filter_agg(col("url_hash"), cap)
+      else graft.functions.BloomFilterAgg.graft_bloom_agg(col("url_hash"), cap, fpp)
+    df.select(col("url_hash"), bucketCol.as("__b"))
+      .repartition(B, col("__b"))
+      .groupBy(col("__b")).agg(aggC.as("f"), count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getAs[Array[Byte]](1), r.getLong(2)))
+  }
+
+  private def membershipOf(bytes: Array[Byte]): LongMembership =
+    if (useCuckoo) LongMembership.Cuckoo(CuckooFilterImpl.deserialize(bytes))
+    else LongMembership.Bloom(BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes)))
+
+  /** Re-ship the merged bucket filters as a fresh base broadcast and
+    * retire the old layers (destroyed at the next [[releaseRetired]]). */
+  private def rebase(): Unit = {
+    if (baseBc != null) { retiredBcs :+= baseBc; nRebases += 1 }
+    retiredBcs ++= deltaBcs
+    deltaBcs = Vector.empty
+    baseBc = spark.sparkContext.broadcast(prefilter)
   }
 
   private def mergeFilters(fs: Array[(Int, Array[Byte], Long)]): Unit =
@@ -134,6 +170,7 @@ final class SeenState(
     if (maxN > perBucketCap) perBucketCap = 2 * maxN
     allocEmptyFilters()
     mergeFilters(buildFilters(piece))
+    rebase()
   }
 
   /** Absorb one wave's new seen hashes (caller guarantees non-empty and
@@ -144,8 +181,38 @@ final class SeenState(
     val fs = buildFilters(piece)
     mergeFilters(fs)
     fs.foreach { case (b, _, n) => bucketCounts(b) += n }
-    if (bucketCounts.max > perBucketCap) resize()
+    if (bucketCounts.max > perBucketCap) resize() // rebases (clears deltas)
+    else if (fs.nonEmpty) {
+      // wave delta for the probe face: bucket filters re-built at the
+      // WAVE's cardinality (a bloom image's size tracks capacity, not
+      // content — re-aggregating small is what keeps the per-wave
+      // broadcast O(wave)). The piece is already bucket-partitioned and
+      // lineage-truncated, so this second pass is a cheap local agg.
+      val deltaCap = math.max(fs.map(_._3).max * 2, 1024L)
+      val layers: Array[LongMembership] = Array.fill(B)(LongMembership.Empty)
+      buildFiltersAt(piece, deltaCap).foreach { case (b, bytes, _) =>
+        layers(b) = membershipOf(bytes)
+      }
+      deltaBcs :+= spark.sparkContext.broadcast(
+        LongMembership.Bucketed(layers): LongMembership)
+      if (deltaBcs.size >= rebaseEvery) rebase()
+    }
     if (pieces.size >= compactAt) compact()
+  }
+
+  /** The layered probe column for this wave: base ∨ deltas, all inside
+    * whole-stage codegen. Capture per wave (the layer set changes). */
+  def probe(c: Column): Column = {
+    if (baseBc == null) rebase()
+    UrlExpressions.might_contain_any(c, baseBc +: deltaBcs)
+  }
+
+  /** Destroy broadcasts retired by rebase/resize. Call ONLY at a wave
+    * boundary, after every plan that could re-evaluate the previous
+    * wave's probe has been committed and unpersisted. */
+  def releaseRetired(): Unit = {
+    retiredBcs.foreach(b => scala.util.Try(b.destroy()))
+    retiredBcs = Vector.empty
   }
 
   /** candidates MINUS seen, exact: one candidate-side exchange into the
@@ -170,6 +237,7 @@ final class SeenState(
     nResizes += 1
     allocEmptyFilters()
     mergeFilters(buildFilters(allPieces))
+    rebase() // the rebuilt bank covers every piece — deltas fold in
   }
 
   private def compact(): Unit = {
@@ -179,10 +247,16 @@ final class SeenState(
     nCompactions += 1
   }
 
-  /** Release every persisted piece RDD (end of run / bench rep). */
+  /** Release every persisted piece RDD and broadcast (end of run /
+    * bench rep) — leaked pieces or filter broadcasts degrade later reps
+    * and long sessions. */
   def close(): Unit = {
     pieces.foreach(GraftShim.freeCheckpoint)
     pieces = Vector.empty
+    releaseRetired()
+    (Option(baseBc).toVector ++ deltaBcs).foreach(b => scala.util.Try(b.destroy()))
+    baseBc = null
+    deltaBcs = Vector.empty
   }
 
   // introspection (tests + trace)
@@ -191,4 +265,6 @@ final class SeenState(
   def totalSeen: Long = bucketCounts.sum
   def resizes: Int = nResizes
   def compactions: Int = nCompactions
+  def rebases: Int = nRebases
+  def deltaLayers: Int = deltaBcs.size
 }

@@ -36,6 +36,49 @@ class SeenStateSpec extends AnyFunSuite {
     assert(got == (9000L until 10000L).map(byId).toSet)
   }
 
+  test("graft_bloom_agg buffers merge with driver filters sized past Spark's 4M clamp") {
+    // Spark's builtin BloomFilterAggregate silently clamps its item count
+    // to spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4M) while
+    // keeping the caller's bit count — past 4M capacity its buffers get a
+    // different hash-function count than BloomFilter.create(items, fpp)
+    // and mergeInPlace throws IncompatibleMergeException. Buckets resize
+    // PAST 4M by design, so the engine's own aggregate must track the
+    // exact (items, fpp) sizing. Capacity (not item count) triggers the
+    // bug, so this is cheap: 1k rows aggregated at 8M capacity.
+    val cap = 8L * 1000 * 1000
+    val img = hashes(0, 1000)
+      .agg(graft.functions.BloomFilterAgg.graft_bloom_agg(col("url_hash"), cap, 0.01))
+      .collect()(0).getAs[Array[Byte]](0)
+    val agg = org.apache.spark.util.sketch.BloomFilter.readFrom(img)
+    val driverSide = org.apache.spark.util.sketch.BloomFilter.create(cap, 0.01)
+    driverSide.mergeInPlace(agg) // builtin agg throws IncompatibleMergeException here
+    val all = hashes(0, 1000).collect().map(_.getLong(0))
+    assert(all.forall(driverSide.mightContainLong), "false negative after merge")
+  }
+
+  test("layered probe (base + wave deltas) has no false negatives across rebase and resize") {
+    val s = new SeenState(spark, buckets = 4, useCuckoo = false,
+      expectedItems = 4096L, fpp = 0.01, compactAt = 100, rebaseEvery = 2)
+    def allPositive(from: Long, until: Long): Boolean =
+      hashes(from, until).select(s.probe(col("url_hash")).as("m"))
+        .collect().forall(_.getBoolean(0))
+    s.bootstrap(hashes(0, 1000))          // base broadcast #1
+    assert(s.deltaLayers == 0)
+    s.addWave(hashes(1000, 2000))         // delta layer 1
+    assert(s.deltaLayers == 1 && allPositive(0, 2000))
+    s.addWave(hashes(2000, 3000))         // delta 2 -> rebase folds them
+    assert(s.deltaLayers == 0 && s.rebases >= 1, "expected a rebase at rebaseEvery")
+    assert(allPositive(0, 3000))
+    s.addWave(hashes(3000, 9000))         // > cap -> resize, which rebases
+    assert(s.resizes >= 1 && s.deltaLayers == 0)
+    assert(allPositive(0, 9000), "false negative after resize rebase")
+    // the layered probe must still prefilter: unseen hashes mostly negative
+    val fp = hashes(100000, 101000).select(s.probe(col("url_hash")).as("m"))
+      .collect().count(_.getBoolean(0))
+    assert(fp < 200, s"prefilter selectivity collapsed: $fp/1000 false positives")
+    s.close()
+  }
+
   test("piece stack compacts (anti-join chain length stays bounded)") {
     val s = new SeenState(spark, buckets = 4, useCuckoo = false,
       expectedItems = 100000L, fpp = 0.01, compactAt = 4)
