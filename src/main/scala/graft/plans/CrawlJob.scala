@@ -310,8 +310,12 @@ object CrawlJob {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       val admitted = newSeen.filter(col("__allowed"))
 
-      // fold the wave's hashes into the seen state (pieces + filters)
-      if (nNewSeen > 0) seen.addWave(newSeen.select(col("url_hash")))
+      // fold the wave's hashes into the seen state (pieces + filters) on
+      // a future: the fold is only needed by the NEXT wave, so it
+      // overlaps this wave's commit tail instead of serializing behind
+      // it. The observed count lets both filter images (merge-sized +
+      // wave-sized delta) build in a single distributed pass.
+      if (nNewSeen > 0) seen.addWaveAsync(newSeen.select(col("url_hash")), nNewSeen)
       mark("seen_fold")
 
       // --- bounded fetch-miss retry (cuckoo unsee path) ------------------
@@ -374,6 +378,9 @@ object CrawlJob {
     t.metrics.append(Seq(metrics).toDF().coalesce(1), Map("wave" -> wave.toLong))
     mark("frontier_commit")
 
+    // the async fold reads this wave's cached newSeen — land it before
+    // anything it depends on is unpersisted
+    seen.awaitFold()
     (Seq(deferred0, fetchSet, joined) ++ toFree).foreach(_.unpersist())
     // wave boundary: every plan that referenced this wave's probe layers
     // is committed + unpersisted, and the next wave's frontier lineage

@@ -119,21 +119,51 @@ final class SeenState(
   private def buildFilters(df: DataFrame): Array[(Int, Array[Byte], Long)] =
     buildFiltersAt(df, perBucketCap)
 
-  private def buildFiltersAt(df: DataFrame, cap: Long): Array[(Int, Array[Byte], Long)] = {
-    // graft_bloom_agg, not Spark's bloom_filter_agg: the builtin clamps
-    // items to the 4M runtime-filter conf while keeping the caller's bit
-    // count, so its buffers stop merging with BloomFilter.create(...)
-    // filters once a bucket resizes past 4M (see BloomFilterAgg doc)
-    val aggC =
-      if (useCuckoo)
-        graft.functions.CuckooFilterAgg.cuckoo_filter_agg(col("url_hash"), cap)
-      else graft.functions.BloomFilterAgg.graft_bloom_agg(col("url_hash"), cap, fpp)
-    df.select(col("url_hash"), bucketCol.as("__b"))
-      .repartition(B, col("__b"))
-      .groupBy(col("__b")).agg(aggC.as("f"), count(lit(1)).as("n"))
+  // graft_bloom_agg, not Spark's bloom_filter_agg: the builtin clamps
+  // items to the 4M runtime-filter conf while keeping the caller's bit
+  // count, so its buffers stop merging with BloomFilter.create(...)
+  // filters once a bucket resizes past 4M (see BloomFilterAgg doc)
+  private def aggFor(cap: Long): Column =
+    if (useCuckoo)
+      graft.functions.CuckooFilterAgg.cuckoo_filter_agg(col("url_hash"), cap)
+    else graft.functions.BloomFilterAgg.graft_bloom_agg(col("url_hash"), cap, fpp)
+
+  private def estFilterBytes(cap: Long): Long =
+    if (useCuckoo) cap * 2 else BloomFilter.optimalNumOfBits(cap, fpp) / 8
+
+  /** Partial aggregation holds one filter buffer PER BUCKET PER input
+    * partition. Past ~64 MB of per-partition buffer state (the 10^8+
+    * bootstrap / resized-cap regime) that is gigabytes of aggregation
+    * state, so pre-exchange the rows by bucket — each partition then
+    * aggregates exactly one bucket. Below the threshold aggregate in
+    * place: exchanging B small partial buffers beats re-shuffling the
+    * rows, and at wave scale it keeps the filter build latency-free. */
+  private def grouped(df: DataFrame, bufBytesPerBucket: Long) = {
+    val base = df.select(col("url_hash"), bucketCol.as("__b"))
+    val pre =
+      if (B.toLong * bufBytesPerBucket > 64L * 1024 * 1024)
+        base.repartition(B, col("__b"))
+      else base
+    pre.groupBy(col("__b"))
+  }
+
+  private def buildFiltersAt(df: DataFrame, cap: Long): Array[(Int, Array[Byte], Long)] =
+    grouped(df, estFilterBytes(cap))
+      .agg(aggFor(cap).as("f"), count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getAs[Array[Byte]](1), r.getLong(2)))
-  }
+
+  /** One distributed pass producing BOTH the merge-sized image and the
+    * wave-sized delta image per bucket (the wave path: two jobs folded
+    * into one — per-wave filter-build latency, not throughput, is what
+    * shows up in a 23-wave crawl). */
+  private def buildBigAndDelta(df: DataFrame, bigCap: Long, deltaCap: Long)
+      : Array[(Int, Array[Byte], Array[Byte], Long)] =
+    grouped(df, estFilterBytes(bigCap) + estFilterBytes(deltaCap))
+      .agg(aggFor(bigCap).as("f"), aggFor(deltaCap).as("fd"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[Array[Byte]](1),
+        r.getAs[Array[Byte]](2), r.getLong(3)))
 
   private def membershipOf(bytes: Array[Byte]): LongMembership =
     if (useCuckoo) LongMembership.Cuckoo(CuckooFilterImpl.deserialize(bytes))
@@ -160,6 +190,7 @@ final class SeenState(
   /** Init or resume: absorb the durable seen table in one pass, sizing
     * the bucket filters off the REAL per-bucket cardinality. */
   def bootstrap(seenDf: DataFrame): Unit = {
+    awaitFold()
     val piece = prep(seenDf)
     pieces = Vector(piece)
     java.util.Arrays.fill(bucketCounts, 0L)
@@ -173,36 +204,73 @@ final class SeenState(
     rebase()
   }
 
+  // In-flight asynchronous fold (addWaveAsync). Every state-reading
+  // entry point awaits it first; only the driver threads touch this.
+  private var pending: scala.concurrent.Future[Unit] = null
+
+  /** Block until an in-flight async fold lands (rethrows its failure). */
+  def awaitFold(): Unit = if (pending != null) {
+    val p = pending; pending = null
+    scala.concurrent.Await.result(p, scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** [[addWave]] on a future: the fold's result (updated pieces + probe
+    * layers) is only needed by the NEXT wave's probe/anti-join, so the
+    * caller's commit tail overlaps the piece checkpoint + filter build
+    * instead of serializing behind it (~1 s/wave of barrier latency on a
+    * 23-wave crawl). Durable state does not depend on the fold — a crash
+    * mid-fold resumes by re-bootstrapping from the seen table. */
+  def addWaveAsync(newSeenHashes: DataFrame, knownCount: Long)(
+      implicit ec: scala.concurrent.ExecutionContext): Unit = {
+    awaitFold()
+    pending = scala.concurrent.Future(addWave(newSeenHashes, knownCount))
+  }
+
   /** Absorb one wave's new seen hashes (caller guarantees non-empty and
     * cached upstream — the groupBy below reads the cache, not the plan). */
-  def addWave(newSeenHashes: DataFrame): Unit = {
+  def addWave(newSeenHashes: DataFrame, knownCount: Long = -1L): Unit = {
     val piece = prep(newSeenHashes)
     pieces :+= piece
-    val fs = buildFilters(piece)
-    mergeFilters(fs)
-    fs.foreach { case (b, _, n) => bucketCounts(b) += n }
-    if (bucketCounts.max > perBucketCap) resize() // rebases (clears deltas)
-    else if (fs.nonEmpty) {
-      // wave delta for the probe face: bucket filters re-built at the
-      // WAVE's cardinality (a bloom image's size tracks capacity, not
-      // content — re-aggregating small is what keeps the per-wave
-      // broadcast O(wave)). The piece is already bucket-partitioned and
-      // lineage-truncated, so this second pass is a cheap local agg.
-      val deltaCap = math.max(fs.map(_._3).max * 2, 1024L)
-      val layers: Array[LongMembership] = Array.fill(B)(LongMembership.Empty)
-      buildFiltersAt(piece, deltaCap).foreach { case (b, bytes, _) =>
-        layers(b) = membershipOf(bytes)
+    // wave delta for the probe face: bucket filters built at the WAVE's
+    // cardinality (a filter image's size tracks capacity, not content —
+    // aggregating small is what keeps the per-wave broadcast O(wave)).
+    // When the caller already knows the wave's row count (CrawlJob reads
+    // it off the seen-append observation) both images build in ONE
+    // distributed pass; otherwise a second wave-sized pass sizes the
+    // delta off the first pass's exact counts.
+    if (knownCount >= 0L) {
+      val deltaCap = math.max(2L * knownCount / B, 1024L)
+      val both = buildBigAndDelta(piece, perBucketCap, deltaCap)
+      mergeFilters(both.map { case (b, f, _, n) => (b, f, n) })
+      both.foreach { case (b, _, _, n) => bucketCounts(b) += n }
+      if (bucketCounts.max > perBucketCap) resize() // rebases (folds deltas)
+      else if (both.nonEmpty)
+        pushDelta(both.map { case (b, _, fd, _) => (b, fd) })
+    } else {
+      val fs = buildFilters(piece)
+      mergeFilters(fs)
+      fs.foreach { case (b, _, n) => bucketCounts(b) += n }
+      if (bucketCounts.max > perBucketCap) resize()
+      else if (fs.nonEmpty) {
+        val deltaCap = math.max(fs.map(_._3).max * 2, 1024L)
+        pushDelta(buildFiltersAt(piece, deltaCap).map { case (b, fd, _) => (b, fd) })
       }
-      deltaBcs :+= spark.sparkContext.broadcast(
-        LongMembership.Bucketed(layers): LongMembership)
-      if (deltaBcs.size >= rebaseEvery) rebase()
     }
     if (pieces.size >= compactAt) compact()
+  }
+
+  private def pushDelta(images: Array[(Int, Array[Byte])]): Unit = {
+    val layers: Array[LongMembership] = Array.fill(B)(LongMembership.Empty)
+    images.foreach { case (b, bytes) => layers(b) = membershipOf(bytes) }
+    deltaBcs :+= spark.sparkContext.broadcast(
+      LongMembership.Bucketed(layers): LongMembership)
+    if (deltaBcs.size >= rebaseEvery) rebase()
   }
 
   /** The layered probe column for this wave: base ∨ deltas, all inside
     * whole-stage codegen. Capture per wave (the layer set changes). */
   def probe(c: Column): Column = {
+    awaitFold()
     if (baseBc == null) rebase()
     UrlExpressions.might_contain_any(c, baseBc +: deltaBcs)
   }
@@ -211,20 +279,24 @@ final class SeenState(
     * boundary, after every plan that could re-evaluate the previous
     * wave's probe has been committed and unpersisted. */
   def releaseRetired(): Unit = {
+    awaitFold()
     retiredBcs.foreach(b => scala.util.Try(b.destroy()))
     retiredBcs = Vector.empty
   }
 
   /** candidates MINUS seen, exact: one candidate-side exchange into the
     * bucket partitioning, then a zero-exchange join chain over pieces. */
-  def antiJoin(cands: DataFrame): DataFrame =
+  def antiJoin(cands: DataFrame): DataFrame = {
+    awaitFold()
     pieces.foldLeft(cands)((acc, p) => acc.join(p, Seq("url_hash"), "left_anti"))
+  }
 
   /** Cuckoo unsee for the retry path: delete the retried hashes from the
     * bucket filters, then re-insert (they stay in the exact seen set —
     * see class doc). No-op in bloom mode (bloom cannot delete; the
     * retried URL simply stays in the filter, which is also correct). */
   def unseeReinsert(retryHashes: DataFrame): Unit = if (useCuckoo) {
+    awaitFold()
     buildFilters(retryHashes).foreach { case (b, bytes, _) =>
       val delta = CuckooFilterImpl.deserialize(bytes)
       cuckoos(b).deleteInPlace(delta)
@@ -251,6 +323,7 @@ final class SeenState(
     * bench rep) — leaked pieces or filter broadcasts degrade later reps
     * and long sessions. */
   def close(): Unit = {
+    scala.util.Try(awaitFold())
     pieces.foreach(GraftShim.freeCheckpoint)
     pieces = Vector.empty
     releaseRetired()

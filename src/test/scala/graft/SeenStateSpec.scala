@@ -64,9 +64,9 @@ class SeenStateSpec extends AnyFunSuite {
         .collect().forall(_.getBoolean(0))
     s.bootstrap(hashes(0, 1000))          // base broadcast #1
     assert(s.deltaLayers == 0)
-    s.addWave(hashes(1000, 2000))         // delta layer 1
+    s.addWave(hashes(1000, 2000), knownCount = 1000L) // delta 1, one-pass path
     assert(s.deltaLayers == 1 && allPositive(0, 2000))
-    s.addWave(hashes(2000, 3000))         // delta 2 -> rebase folds them
+    s.addWave(hashes(2000, 3000))         // delta 2 (two-pass path) -> rebase folds them
     assert(s.deltaLayers == 0 && s.rebases >= 1, "expected a rebase at rebaseEvery")
     assert(allPositive(0, 3000))
     s.addWave(hashes(3000, 9000))         // > cap -> resize, which rebases
