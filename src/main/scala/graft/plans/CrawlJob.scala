@@ -64,7 +64,8 @@ object CrawlJob {
       docs: IceLite.Table,
       docsFlat: IceLite.Table,
       metrics: IceLite.Table,
-      failed: IceLite.Table)
+      failed: IceLite.Table,
+      filters: IceLite.Table)
 
   def tables(root: String, spark: SparkSession): Tables = Tables(
     IceLite.table(s"$root/frontier", spark),
@@ -73,7 +74,8 @@ object CrawlJob {
     IceLite.table(s"$root/crawl_docs", spark),
     IceLite.table(s"$root/crawl_docs_flat", spark),
     IceLite.table(s"$root/metrics", spark),
-    IceLite.table(s"$root/fetch_failed", spark))
+    IceLite.table(s"$root/fetch_failed", spark),
+    IceLite.table(s"$root/seen_filters", spark))
 
   /** Run (or resume) the crawl to completion. `docsDf` is the synthetic
     * web: the fetch step is an equi-join against it (no network in the
@@ -136,7 +138,7 @@ object CrawlJob {
     // the durable table on (re)start, then fed incrementally per wave.
     val seen = new SeenState(spark, cfg.seenBuckets, cfg.seenFilter == "cuckoo",
       cfg.bloomItems, cfg.bloomFpp, cfg.compactPieces)
-    seen.bootstrap(t.seen.readOr(spark.emptyDataset[SeenUrl].toDF()))
+    bootstrapSeen(spark, t, seen, cfg)
 
     val seedHosts: Set[String] = cfg.seeds.flatMap { s =>
       Option(UrlOps.canonicalize(s)).map(c => UrlOps.hostOf(UrlOps.parse(c).authority))
@@ -158,8 +160,55 @@ object CrawlJob {
           wave += 1
         }
       }
+      // Clean exit (frontier drained, wave cap, or graceful stop): persist
+      // the filter bank so the NEXT start can skip the full filter rebuild.
+      // Never written on the exception path — a bank must only ever exist
+      // for a committed, marker-consistent state.
+      persistFilterBank(spark, t, seen, cfg)
     } finally seen.close()
     out.result()
+  }
+
+  /** Version-gated seen-state bootstrap. The saved bank is used ONLY when
+    * its tag equals the seen table's CURRENT version (checked after any
+    * resume rollback): IceLite versions are append-monotonic and rollback
+    * only trims versions above the commit marker, so tag equality proves
+    * the bank covers exactly the committed seen rows — the completeness
+    * the prefilter's no-false-negative contract depends on. Anything
+    * off (stale tag, bucket/kind/shape mismatch, unreadable images)
+    * falls back to the full rebuild. */
+  private def bootstrapSeen(spark: SparkSession, t: Tables, seen: SeenState,
+      cfg: Config): Unit = {
+    import spark.implicits._
+    val seenDf = t.seen.readOr(spark.emptyDataset[SeenUrl].toDF())
+    val fast = t.filters.currentSnapshot.exists { s =>
+      s.counters.get("seen_version").contains(t.seen.currentVersion.toLong) &&
+      s.counters.get("buckets").contains(cfg.seenBuckets.toLong) &&
+      s.counters.get("cuckoo").contains(if (cfg.seenFilter == "cuckoo") 1L else 0L) &&
+      s.counters.contains("cap") &&
+      scala.util.Try {
+        val rows = t.filters.read().select("bucket", "image", "n").collect()
+          .map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+        seen.bootstrapFromImages(seenDf, rows, s.counters("cap"))
+        true
+      }.getOrElse(false)
+    }
+    if (!fast) seen.bootstrap(seenDf)
+  }
+
+  /** Durable (bucket, image, count) bank + capacity, tagged with the seen
+    * table version it covers. Driver-sized write: B rows. */
+  private def persistFilterBank(spark: SparkSession, t: Tables, seen: SeenState,
+      cfg: Config): Unit = {
+    import spark.implicits._
+    val (imgs, cap) = seen.exportImages()
+    t.filters.replace(
+      imgs.toSeq.toDF("bucket", "image", "n").coalesce(1),
+      Map(
+        "seen_version" -> t.seen.currentVersion.toLong,
+        "buckets" -> cfg.seenBuckets.toLong,
+        "cuckoo" -> (if (cfg.seenFilter == "cuckoo") 1L else 0L),
+        "cap" -> cap))
   }
 
   private val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))

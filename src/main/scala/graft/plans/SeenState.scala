@@ -191,6 +191,7 @@ final class SeenState(
     * the bucket filters off the REAL per-bucket cardinality. */
   def bootstrap(seenDf: DataFrame): Unit = {
     awaitFold()
+    pieces.foreach(GraftShim.freeCheckpoint) // re-bootstrap (e.g. bank fallback)
     val piece = prep(seenDf)
     pieces = Vector(piece)
     java.util.Arrays.fill(bucketCounts, 0L)
@@ -302,6 +303,44 @@ final class SeenState(
       cuckoos(b).deleteInPlace(delta)
       cuckoos(b).mergeInPlace(delta)
     }
+  }
+
+  /** Driver-side snapshot of the filter bank for durable persistence:
+    * (bucket, image, exactCount) per bucket, plus the bank capacity.
+    * The caller tags the write with the seen table's version so a later
+    * [[bootstrapFromImages]] only ever uses a bank that provably covers
+    * the committed seen set (filter completeness is load-bearing: a
+    * filter-negative skips the exact anti-join). */
+  def exportImages(): (Array[(Int, Array[Byte], Long)], Long) = {
+    awaitFold()
+    val imgs = (0 until B).map { b =>
+      val bytes =
+        if (useCuckoo) cuckoos(b).serialize()
+        else {
+          val o = new java.io.ByteArrayOutputStream()
+          blooms(b).writeTo(o)
+          o.toByteArray
+        }
+      (b, bytes, bucketCounts(b))
+    }.toArray
+    (imgs, perBucketCap)
+  }
+
+  /** Resume fast path: a version-matched saved bank replaces both the
+    * per-bucket count job AND the filter-build job of [[bootstrap]] —
+    * restart cost drops to the single piece-prep pass. */
+  def bootstrapFromImages(seenDf: DataFrame,
+      images: Array[(Int, Array[Byte], Long)], cap: Long): Unit = {
+    awaitFold()
+    require(images.length == B, s"bank has ${images.length} buckets, want $B")
+    pieces.foreach(GraftShim.freeCheckpoint)
+    pieces = Vector(prep(seenDf))
+    java.util.Arrays.fill(bucketCounts, 0L)
+    images.foreach { case (b, _, n) => bucketCounts(b) = n }
+    perBucketCap = cap
+    allocEmptyFilters()
+    mergeFilters(images)
+    rebase()
   }
 
   private def resize(): Unit = {

@@ -79,6 +79,31 @@ class SeenStateSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("filter bank export/import: resumed state probes and anti-joins identically") {
+    for (cuckoo <- Seq(false, true)) {
+      val a = new SeenState(spark, buckets = 4, useCuckoo = cuckoo,
+        expectedItems = 4096L, fpp = 0.01, compactAt = 100)
+      a.bootstrap(hashes(0, 2000))
+      a.addWave(hashes(2000, 6000), knownCount = 4000L) // forces a resize past cap0
+      val (images, cap) = a.exportImages()
+      assert(cap == a.capacityPerBucket && images.map(_._3).sum == 6000L)
+
+      val b = new SeenState(spark, buckets = 4, useCuckoo = cuckoo,
+        expectedItems = 4096L, fpp = 0.01, compactAt = 100)
+      b.bootstrapFromImages(hashes(0, 6000), images, cap)
+      assert(b.capacityPerBucket == cap && b.totalSeen == 6000L)
+      // no false negative: every seen hash probes positive on the resumed bank
+      val pos = hashes(0, 6000).select(b.probe(col("url_hash")).as("m")).collect()
+      assert(pos.forall(_.getBoolean(0)), s"false negative after import (cuckoo=$cuckoo)")
+      // exact anti-join over the re-prepped piece agrees with set-minus
+      val got = b.antiJoin(hashes(5000, 8000)).collect().map(_.getLong(0)).toSet
+      val byId = spark.range(0, 8000).select(col("id"), xxhash64(col("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == (6000L until 8000L).map(byId).toSet)
+      a.close(); b.close()
+    }
+  }
+
   test("piece stack compacts (anti-join chain length stays bounded)") {
     val s = new SeenState(spark, buckets = 4, useCuckoo = false,
       expectedItems = 100000L, fpp = 0.01, compactAt = 4)
