@@ -95,7 +95,9 @@ object Bench {
     // dropped between phases.
 
     // headline: kernel throughput (warm-up pass then best of 3 — JIT and
-    // shared-VM variance dominate rep 1; best-of measures the engine)
+    // shared-VM variance dominate rep 1; best-of measures the engine).
+    // EVERY rep's wall is emitted (kernel_reps) so host contention is
+    // distinguishable from an engine regression in the artifact itself.
     runKernel(spark, math.min(kernelN / 4, 1000000L), cpus)
     val kernelReps = (1 to 3).map(_ => runKernel(spark, kernelN, cpus))
     val (kw, ku) = kernelReps.maxBy(r => r._2 / r._1)
@@ -105,13 +107,28 @@ object Bench {
     // is tracked alongside the best-of headline
     val (lw, lu) = kernelReps.last
     val lastRate = lu / lw
+    val repsJson = kernelReps.map { case (w, u) =>
+      s"""{"wall_sec":$w,"urls":$u,"urls_per_sec":${u / w}}""" }.mkString("[", ",", "]")
     spark.catalog.clearCache()
 
     // mature-crawl regime: seen set 10× the frontier — the bucketed seen
-    // state must show no throughput cliff when seen ≫ wave (BENCH.md)
+    // state must show no throughput cliff when seen ≫ wave. The 0.25×
+    // comparator runs adjacent-in-time at the SAME n so the pair is
+    // window-matched (mismatched windows on a shared VM gave a spurious
+    // 0.58 in round 2 — BENCH.md).
     val seen10N = sys.env.getOrElse("SPARK_GRAFT_SEEN10X_N", "16000000").toLong
+    val (cw025, cu025) = BenchKernelRunner.run(spark, seen10N, cpus, seenFactor = 0.25)
+    val comparatorRate = cu025 / cw025
+    spark.catalog.clearCache()
     val (sw, su) = BenchKernelRunner.run(spark, seen10N, cpus, seenFactor = 10.0)
     val seen10Rate = su / sw
+    spark.catalog.clearCache()
+
+    // joined-robots regime: 10^4 ruled hosts forces the broadcast
+    // packed-rules path — the kernel number the 10^7-host regime runs at
+    // (the 16-host headline exercises only the compiled chain)
+    val (jw, ju) = BenchKernelRunner.run(spark, seen10N, cpus, ruledHosts = 10000)
+    val joinedRate = ju / jw
     spark.catalog.clearCache()
 
     // secondary: end-to-end crawl incl. checkpoints
@@ -160,6 +177,6 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"queries":$qs,$crawlStats$scaling,"sf":"$sfDir"}""")
+      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"queries":$qs,$crawlStats$scaling,"sf":"$sfDir"}""")
   }
 }

@@ -53,11 +53,22 @@ object BenchKernelRunner {
         allow = h % 4 != 3, crawl_delay = if (h == 0) 2 else 1)
     }
 
+  /** Rules over `nHosts` hosts — past the 64-host compile cutover this
+    * forces the production JOINED robots path (broadcast packed rules),
+    * the regime a 10^7-robots.txt-host crawl runs in. */
+  def benchRulesFor(nHosts: Int): Seq[RobotsRule] =
+    (0 until nHosts).map { h =>
+      RobotsRule(s"h$h.example.org", if (h % 4 == 3) "/p/1" else "/",
+        allow = h % 4 != 3, crawl_delay = if (h == 0) 2 else 1)
+    }
+
   /** One kernel pass; returns (wallSec, urlsProcessed = scheduled+deduped).
     * Inputs AND the seen-state bootstrap (bucket pieces + filters) are
-    * materialized outside the clock — they are amortized crawl state. */
+    * materialized outside the clock — they are amortized crawl state.
+    * `ruledHosts` > 64 routes politeness + robots through the
+    * size-adaptive JOINED policy instead of the compiled chain. */
   def run(spark: SparkSession, n: Long, cpus: Int,
-      seenFactor: Double = 0.25): (Double, Long) = {
+      seenFactor: Double = 0.25, ruledHosts: Int = 16): (Double, Long) = {
     val parts = cpus * 2
     val frontier = frontierDf(spark, n, parts).persist()
     frontier.count()
@@ -66,13 +77,19 @@ object BenchKernelRunner {
       expectedItems = math.max((n * seenFactor).toLong, 1000L),
       fpp = 0.01, compactAt = 8)
     seen.bootstrap(seenHashes)
+    val rules = if (ruledHosts == 16) benchRules else benchRulesFor(ruledHosts)
+    val policy = graft.operators.Robots.policy(rules, spark)
     val t0 = System.nanoTime()
-    val r = FrontierKernel.scheduleDedup(spark, frontier, n, seen, benchRules,
+    val r = FrontierKernel.scheduleDedup(spark, frontier, n, seen, policy,
       hostBudget = Int.MaxValue / 4, saltBuckets = cpus * 2,
       numPartitions = parts)
     val wall = (System.nanoTime() - t0) / 1e9
     frontier.unpersist()
     seen.close()
+    policy match { // rep hygiene: a leaked packed broadcast degrades later reps
+      case graft.operators.Robots.Joined(packed) => packed.unpersist()
+      case _ => ()
+    }
     (wall, r.scheduled + r.newUrls + r.dedupHits)
   }
 }

@@ -16,7 +16,8 @@ import java.util.concurrent.atomic.AtomicBoolean
   *     --seed <url> [--seed <url> ...] [--on-domain] [--host-budget N]
   *     [--max-waves N] [--partitions N] [--emit-visit-order]
   *     [--robots <parquet of (host,path_prefix,allow,crawl_delay)>]
-  *     [--max-retries N]
+  *     [--robots-txt <parquet of (host,body) raw robots.txt>] [--agent TOKEN]
+  *     [--max-retries N] [--stream <dir of seed-request json files>]
   *
   * Validation mirrors the handler: invalid seed → exit 400-style error;
   * the job itself runs to completion (or resumes from the state root's
@@ -38,7 +39,12 @@ object CrawlMain {
     var partitions = 32
     var emitOrder = false
     var robotsPath = ""
+    var robotsTxtPath = ""
+    var agent = "graftbot"
     var maxRetries = 0
+    var expireKeep = 16
+    var streamDir = ""
+    var virtualClock = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -51,12 +57,18 @@ object CrawlMain {
         case "--partitions" => partitions = args(i + 1).toInt; i += 2
         case "--emit-visit-order" => emitOrder = true; i += 1
         case "--robots" => robotsPath = args(i + 1); i += 2
+        case "--robots-txt" => robotsTxtPath = args(i + 1); i += 2
+        case "--agent" => agent = args(i + 1); i += 2
         case "--max-retries" => maxRetries = args(i + 1).toInt; i += 2
+        case "--expire-keep" => expireKeep = args(i + 1).toInt; i += 2
+        case "--stream" => streamDir = args(i + 1); i += 2
+        case "--virtual-clock" => virtualClock = true; i += 1
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
     }
-    if (docsPath.isEmpty || state.isEmpty || seeds.isEmpty) {
-      System.err.println("required: --docs <path> --state <dir> --seed <url>")
+    if (docsPath.isEmpty || state.isEmpty || (seeds.isEmpty && streamDir.isEmpty)) {
+      System.err.println(
+        "required: --docs <path> --state <dir> and --seed <url> or --stream <dir>")
       sys.exit(2)
     }
     // seed validation = handler semantics (handlers.go:41-69 + Init 400)
@@ -97,7 +109,8 @@ object CrawlMain {
         (spark.read.parquet(docsPath), Seq.empty[graft.model.RobotsRule])
 
     val jobCfg = CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves, partitions,
-      maxRetries = maxRetries, stopRequested = () => stopFlag.get())
+      maxRetries = maxRetries, snapshotKeep = expireKeep,
+      virtualClock = virtualClock, stopRequested = () => stopFlag.get())
 
     // robots: an explicit rules table wins; synth corpora default to their
     // own generated rules; plain parquet corpora default to allow-all.
@@ -105,8 +118,40 @@ object CrawlMain {
     // compile-vs-join cutover (and any driver-side collect) happens behind
     // Robots.policyFromDf, so a 10^7-host rules table never lands on the
     // driver (ADVICE r1: the unconditional collect is gone).
+    // --stream: always-on intake made CLI-reachable (the reference's
+    // POST /crawl, serving/routes.go:94-96, as a Structured Streaming
+    // source): drain every available seed-request file into the state
+    // root's frontier/url_seen via the idempotent per-batch admission
+    // (StreamOps.admitSeedBatch), then fall through to the wave loop,
+    // which resumes on the same root and picks the new seeds up as
+    // wave-0 entries. Re-running with the same --state continues the
+    // cycle — intake and crawl alternate on one durable state.
+    if (streamDir.nonEmpty) {
+      val t = CrawlJob.tables(state, spark)
+      val schema = graft.streaming.StreamOps.crawlRequestSchema
+        .add("seq", org.apache.spark.sql.types.LongType)
+      val req = spark.readStream.schema(schema).json(streamDir)
+      val q = graft.streaming.StreamOps.seedEntries(req)
+        .writeStream
+        .foreachBatch(graft.streaming.StreamOps.admitSeedBatch(spark, t.frontier, t.seen) _)
+        .option("checkpointLocation", s"$state/intake_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // --robots-txt wins over --robots: RAW robots.txt bodies — the shape
+    // a real robots corpus has (the reference consumes exactly this via
+    // colly → temoto/robotstxt, go.mod:22 / crawler.go:76) — compile
+    // DISTRIBUTED (RFC 9309, wildcard-aware) behind the same size-adaptive
+    // policy cutover; the driver never holds a rule above it.
     val metrics =
-      if (robotsPath.isEmpty) CrawlJob.run(spark, docs, defaultRules, jobCfg, state)
+      if (robotsTxtPath.nonEmpty) {
+        val bodies = spark.read.parquet(robotsTxtPath).select(col("host"), col("body"))
+        CrawlJob.runWithPolicy(spark, docs,
+          graft.operators.RobotsTxt.policyFromTxt(bodies, agent), jobCfg, state)
+      } else if (robotsPath.isEmpty)
+        CrawlJob.run(spark, docs, defaultRules, jobCfg, state)
       else {
         val rulesDf = spark.read.parquet(robotsPath)
           .select(col("host"), col("path_prefix"), col("allow"), col("crawl_delay"))

@@ -22,6 +22,13 @@ final class CuckooFilterImpl private (
 
   private def mask: Int = numBuckets - 1
   private var kickSeed: Long = 0x5DEECE66DL
+  // Saturation accounting: inserts the eviction loop could not place.
+  // A filter with nDropped > 0 has false negatives and MUST NOT serve as
+  // a seen-prefilter layer (a filter-negative skips the exact anti-join);
+  // callers check [[dropped]] and rebuild bigger / fall back to an exact
+  // path instead of shipping a lossy image.
+  private var nDropped: Long = 0L
+  def dropped: Long = nDropped
 
   @inline private def fingerprint(hash: Long): Short = {
     val fp = ((hash & 0xFFFF) ^ (hash >>> 48)).toInt & 0xFFFF
@@ -30,8 +37,16 @@ final class CuckooFilterImpl private (
 
   @inline private def bucket1(hash: Long): Int = ((hash >>> 16) & mask).toInt
 
-  @inline private def altBucket(i: Int, fp: Short): Int =
-    (i ^ (scramble(fp & 0xFFFF) & mask)) & mask
+  /** Alternate bucket: XOR with a nonzero fp-derived offset. The masked
+    * scramble can be zero when the nonzero bits fall above the index
+    * width, which would make i2 == i1 (halving effective slots and
+    * degrading the eviction loop); forcing a nonzero offset keeps
+    * i2 != i1 for every fp while remaining an involution — the pairing
+    * [[deleteInPlace]]'s argument depends on. */
+  @inline private def altBucket(i: Int, fp: Short): Int = {
+    val off = scramble(fp & 0xFFFF) & mask
+    (i ^ (if (off == 0) 1 else off)) & mask
+  }
 
   private def slotBase(bucket: Int): Int = bucket * SlotsPerBucket
 
@@ -69,8 +84,11 @@ final class CuckooFilterImpl private (
     false
   }
 
-  def insert(hash: Long): Boolean =
-    insertFingerprint(bucket1(hash), fingerprint(hash))
+  def insert(hash: Long): Boolean = {
+    val ok = insertFingerprint(bucket1(hash), fingerprint(hash))
+    if (!ok) nDropped += 1
+    ok
+  }
 
   def mightContain(hash: Long): Boolean = {
     val fp = fingerprint(hash)
@@ -111,13 +129,14 @@ final class CuckooFilterImpl private (
     * hashing lets us reinsert from (bucket, fp) alone. */
   def mergeInPlace(other: CuckooFilterImpl): CuckooFilterImpl = {
     require(other.numBuckets == numBuckets, "cuckoo merge: size mismatch")
+    nDropped += other.nDropped
     var b = 0
     while (b < other.numBuckets) {
       val base = other.slotBase(b)
       var j = 0
       while (j < SlotsPerBucket) {
         val fp = other.slots(base + j)
-        if (fp != 0) insertFingerprint(b, fp)
+        if (fp != 0 && !insertFingerprint(b, fp)) nDropped += 1
         j += 1
       }
       b += 1
@@ -152,8 +171,9 @@ final class CuckooFilterImpl private (
   }
 
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + slots.length * 2)
+    val buf = ByteBuffer.allocate(4 + 8 + slots.length * 2)
     buf.putInt(numBuckets)
+    buf.putLong(nDropped)
     slots.foreach(buf.putShort)
     buf.array()
   }
@@ -180,12 +200,19 @@ object CuckooFilterImpl {
     new CuckooFilterImpl(buckets, new Array[Short](buckets * SlotsPerBucket))
   }
 
+  /** Dropped-insert count straight from a serialized image's header —
+    * the lossless-delta check reads this without a full deserialize. */
+  def droppedOf(bytes: Array[Byte]): Long = ByteBuffer.wrap(bytes).getLong(4)
+
   def deserialize(bytes: Array[Byte]): CuckooFilterImpl = {
     val buf = ByteBuffer.wrap(bytes)
     val numBuckets = buf.getInt
+    val dropped = buf.getLong
     val slots = new Array[Short](numBuckets * SlotsPerBucket)
     var i = 0
     while (i < slots.length) { slots(i) = buf.getShort; i += 1 }
-    new CuckooFilterImpl(numBuckets, slots)
+    val f = new CuckooFilterImpl(numBuckets, slots)
+    f.nDropped = dropped
+    f
   }
 }

@@ -111,6 +111,16 @@ object UrlExpressions {
       sets: Seq[org.apache.spark.broadcast.Broadcast[LongMembership]])
     extends UnaryExpression {
     require(sets.nonEmpty, "at least one membership layer")
+    // Deliberate pushdown barrier, NOT actual nondeterminism: the probe is
+    // pure for a fixed layer set, but letting Catalyst push it below the
+    // candidate repartition(B, url_hash) (or infer it onto the seen-piece
+    // side of the anti-join) breaks the scale contract twice over — the
+    // pre-exchange probe touches every bucket in every task (O(seen)
+    // resident per executor instead of O(seen/B)), the differing
+    // fresh/maybe filters stop the two branches sharing one reused
+    // exchange, and the inferred piece-side filter re-evaluates the probe
+    // over the WHOLE seen set each wave.
+    override lazy val deterministic: Boolean = false
     override def dataType: DataType = BooleanType
     override def nullSafeEval(v: Any): Any = {
       val h = v.asInstanceOf[Long]

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *    target). Query-side MULTI-PROBE (the exact bucket + every
   *    hamming-1 flip) buys the recall back that narrower buckets cost;
   *  - IVF with a TRAINED coarse quantizer: deterministic Lloyd k-means
-  *    (fixed init = first NCentroids vectors, fixed KMeansIters
+  *    (fixed init = first-⌈n/TargetCellSize⌉ vectors — the CELL COUNT
+  *    SCALES WITH THE CORPUS, capped at 4096; fixed KMeansIters
   *    iterations, integer-exact centroid updates so the DuckDB twin is
-  *    bit-identical), probing the NProbeCells nearest cells per query.
+  *    bit-identical), probing the ⌊√cells⌋ nearest cells per query —
+  *    probed fraction shrinks as the index grows.
   *
   * Every "random" quantity derives from index arithmetic or md5 — no RNG
   * state — so an independent engine recomputes identical results.
@@ -244,10 +246,38 @@ object AnnOps {
 
   // ---- IVF: trained coarse quantizer (deterministic Lloyd) ----------------
 
-  val NCentroids = 8
   val KMeansIters = 2
-  val NProbeCells = 2
   val IvfK = 3
+  val MinCentroids = 8
+  val MaxCentroids = 4096
+  val TargetCellSize = 4096L
+  /** Literal-centroid codegen path up to this many cells; above it the
+    * assignment becomes a broadcast centroid join + map-side argmax
+    * (4096 literal projection columns would blow plan construction and
+    * the codegen method limit — same cutover shape as Robots compile→join). */
+  val CellCompileCutover = 64
+
+  /** Cells scale with the corpus: ⌈n / TargetCellSize⌉ clamped to
+    * [MinCentroids, MaxCentroids] — a fixed cell count makes every cell a
+    * constant FRACTION of the corpus (at 10^9 vectors, 8 cells × nprobe 2
+    * scans ~25% per query); scaled cells keep the probed fraction
+    * ~nprobe/cells. Integer-exact so the DuckDB twin reproduces it. */
+  def nCentroidsFor(n: Long): Int =
+    math.min(MaxCentroids.toLong, math.max(MinCentroids.toLong,
+      (n + TargetCellSize - 1) / TargetCellSize)).toInt
+
+  /** nprobe tracks the cell count: max(2, ⌊√cells⌋) — probed fraction
+    * √cells/cells shrinks as the index grows (8 cells → 2 probes, the
+    * round-2 operating point; 4096 cells → 64 probes = 1.6%). */
+  def nProbeFor(nCent: Int): Int =
+    math.max(2, math.sqrt(nCent.toDouble).toInt)
+
+  /** DuckDB twins of the two ladders (integer-exact: `//` division, and
+    * sqrt of a small int is correctly rounded so floor matches). */
+  val nCentroidsSqlExpr: String =
+    s"GREATEST($MinCentroids, LEAST($MaxCentroids, (count(*) + ${TargetCellSize - 1}) // $TargetCellSize))"
+  val nProbeSqlExpr: String =
+    s"GREATEST(2, CAST(floor(sqrt($nCentroidsSqlExpr)) AS BIGINT))"
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -263,10 +293,20 @@ object AnnOps {
         (lit(cn) * col("nrm")), 6)
   }
 
-  /** Attach `cell` = argmax-cosine centroid (tie → lowest id). The cc
-    * columns cross a projection boundary first so the fold below only
-    * duplicates cheap column refs, never the dot-product trees. */
-  private def withCell(df: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+  /** Attach `cell` = argmax-cosine centroid (tie → lowest id), by the
+    * size-adaptive cutover: ≤ CellCompileCutover cells fold into LITERAL
+    * projection columns (narrow map stage, zero join); above it the
+    * centroids ride a broadcast join with a map-side max_by argmax. The
+    * two paths are decision-identical (rounded cosine, strict-greater
+    * keeps the lowest id on ties) — asserted by AnnRecallSpec. */
+  private[operators] def withCell(df: DataFrame, cents: Seq[(Int, Array[Double])],
+      forceJoin: Boolean = false): DataFrame =
+    if (!forceJoin && cents.size <= CellCompileCutover) withCellLiteral(df, cents)
+    else withCellJoin(df, cents)
+
+  /** The cc columns cross a projection boundary first so the fold below
+    * only duplicates cheap column refs, never the dot-product trees. */
+  private def withCellLiteral(df: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
     val withCc = df.select(
       (df.columns.map(col).toSeq ++ cents.map { case (k, c) => centCos(c).as(s"__cc$k") }): _*)
     val ks = cents.map(_._1)
@@ -278,20 +318,48 @@ object AnnOps {
     withCc.withColumn("cell", bestK).drop(ks.map(k => s"__cc$k"): _*)
   }
 
-  /** Deterministic Lloyd: init = first NCentroids vectors (rounded 6 dp);
+  /** Large-cell-count assignment: broadcast the (cent_id, cv, cn) table,
+    * one cosine per (vector, centroid) pair, map-side max_by argmax —
+    * the shuffle moves n ROWS (partial aggregates), never n × cells.
+    * max_by key (cc, -cent_id): highest cosine, ties → lowest id, exactly
+    * the literal fold's strict-greater semantics. */
+  private def withCellJoin(df: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cdf = s.createDataset(cents.map { case (k, c) =>
+      (k, c.toSeq, math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v)))
+    }).toDF("__cent_id", "__cv", "__cn")
+    val cc = round(
+      aggregate(zip_with(col("__cv"), col("embedding"), (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v) / (col("__cn") * col("nrm")), 6)
+    val others = df.columns.filter(_ != "vec_id").toSeq
+    df.join(broadcast(cdf))
+      .withColumn("__cc", cc)
+      .groupBy(col("vec_id"))
+      .agg(others.head match {
+        case h => first(col(h)).as(h)
+      }, (others.tail.map(c => first(col(c)).as(c)) :+
+        max_by(col("__cent_id"), struct(col("__cc"), (-col("__cent_id")).as("__nid")))
+          .as("cell")): _*)
+      .select((("vec_id" +: others) :+ "cell").map(col): _*)
+  }
+
+  /** Deterministic Lloyd: init = first nCent vectors (rounded 6 dp);
     * per iteration, assign by rounded cosine then update each non-empty
     * cell's centroid from INTEGER sums (floor(x*1000) summed as long →
     * one double division → round 6 dp), so the update is summation-order
-    * independent and the DuckDB twin reproduces it bit-for-bit. */
-  private def trainCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
+    * independent and the DuckDB twin reproduces it bit-for-bit. Driver
+    * state is O(nCent × dim) — ≤ 4096 × 64 doubles (2 MB) at the cap. */
+  private def trainCentroids(e: DataFrame, nCent: Int,
+      forceJoin: Boolean = false): Seq[(Int, Array[Double])] = {
     import org.apache.spark.sql.Row
-    var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < NCentroids)
+    var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < nCent)
       .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
       .map((r: Row) => (r.getLong(0).toInt,
         r.getSeq[Float](1).map(f => round6(f.toDouble)).toArray))
     val dim = cents.head._2.length
     (1 to KMeansIters).foreach { _ =>
-      val assigned = withCell(e, cents)
+      val assigned = withCell(e, cents, forceJoin)
       val aggCols = (1 to dim).map(d =>
         sum(floor(element_at(col("embedding"), d).cast("double") * 1000).cast("long"))
           .as(s"s$d")) :+ count(lit(1)).as("cnt")
@@ -307,36 +375,52 @@ object AnnOps {
 
   /** a4: IVF ANN with the trained quantizer — assignment is a narrow map
     * stage against LITERAL centroids (no join at all for the corpus
-    * side), queries probe their NProbeCells nearest cells, and the
-    * candidate join touches ~NProbeCells/NCentroids of the corpus. At
+    * side up to CellCompileCutover cells, broadcast join above it),
+    * queries probe their ⌊√cells⌋ nearest cells, and the
+    * candidate join touches ~nprobe/cells of the corpus. At
     * 100 TB the cell is the partition key; training cost is
     * KMeansIters × one scan + an 8-row aggregate. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKImpl(s, dir, forceJoin = false)
+
+  private[graft] def ivfTopKImpl(s: SparkSession, dir: String,
+      forceJoin: Boolean): DataFrame = {
     import s.implicits._
+    val nCent = nCentroidsFor(embCount(s, dir))
+    val nProbe = nProbeFor(nCent)
     val e = emb(s, dir).withColumn("nrm", norm($"embedding")).persist()
-    val cents = trainCentroids(e)
-    val cells = withCell(e, cents).select($"vec_id", $"embedding", $"nrm", $"cell")
-    // query probes: NProbeCells nearest centroids by (cosine desc, id asc)
-    val probeStructs = array(cents.map { case (k, c) =>
-      struct(centCos(c).as("cc"), lit(k).as("cell")) }: _*)
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cc".desc, $"cell".asc)
-    val qp = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"),
-        explode(probeStructs).as("pc"))
-      .select($"query_id", $"q", $"qnrm",
-        $"pc".getField("cc").as("cc"), $"pc".getField("cell").as("cell"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter($"rn" <= NProbeCells)
-      .select($"query_id", $"q", $"qnrm", $"cell")
-    val joined = cells.join(broadcast(qp), Seq("cell"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6).as("cosine"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cosine".desc, $"neighbor_id".asc)
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= IvfK)
-      .orderBy($"query_id", $"rank")
+    try {
+      val cents = trainCentroids(e, nCent, forceJoin)
+      val cells = withCell(e, cents, forceJoin)
+        .select($"vec_id", $"embedding", $"nrm", $"cell")
+      // query probes: nProbe nearest centroids by (cosine desc, id asc) —
+      // queries are few, so the probe ranking always uses the literal
+      // explode (cells × NQueries rows, driver-free)
+      val probeStructs = array(cents.map { case (k, c) =>
+        struct(centCos(c).as("cc"), lit(k).as("cell")) }: _*)
+      val wProbe = Window.partitionBy($"query_id").orderBy($"cc".desc, $"cell".asc)
+      val qp = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"),
+          explode(probeStructs).as("pc"))
+        .select($"query_id", $"q", $"qnrm",
+          $"pc".getField("cc").as("cc"), $"pc".getField("cell").as("cell"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter($"rn" <= nProbe)
+        .select($"query_id", $"q", $"qnrm", $"cell")
+      val joined = cells.join(broadcast(qp), Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          round(dot($"q", $"embedding") / ($"qnrm" * $"nrm"), 6).as("cosine"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id".asc)
+      joined.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= IvfK)
+        .orderBy($"query_id", $"rank")
+    } finally
+      // training (the only consumer that re-scans) is done: holding the
+      // cache would leak a persisted RDD into the shared session per
+      // verify/bench invocation; the returned plan re-reads parquet once
+      e.unpersist()
   }
 
   /** One SQL k-means assignment pass under centroid CTE `cCte`. */
@@ -362,9 +446,11 @@ object AnnOps {
   def ivfTopKSql: String = ivfTopKSqlForDim(64)
 
   private[operators] def ivfTopKSqlForDim(dim: Int): String =
-    s"""WITH c0 AS (
+    s"""WITH nc AS (
+       |  SELECT $nCentroidsSqlExpr AS nc, $nProbeSqlExpr AS npc FROM embeddings),
+       |c0 AS (
        |  SELECT vec_id AS cent_id, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cv
-       |  FROM embeddings WHERE vec_id < $NCentroids),
+       |  FROM embeddings, nc WHERE vec_id < nc.nc),
        |a0 AS (${assignSql("c0")}),
        |c1 AS (${updateSql("a0", dim)}),
        |a1 AS (${assignSql("c1")}),
@@ -378,7 +464,7 @@ object AnnOps {
        |        (sqrt(list_dot_product(c.cv, c.cv)) *
        |         sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) DESC,
        |      c.cent_id ASC) AS rn
-       |  FROM q, c2 c) t WHERE rn <= $NProbeCells),
+       |  FROM q, c2 c) t WHERE rn <= (SELECT npc FROM nc)),
        |sims AS (
        |  SELECT qp.query_id, e.vec_id AS neighbor_id,
        |    round(list_dot_product(qp.qv::DOUBLE[], e.embedding::DOUBLE[]) /

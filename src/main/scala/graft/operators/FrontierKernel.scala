@@ -27,47 +27,54 @@ object FrontierKernel {
   private val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Back-compat face: builds the size-adaptive policy from a rule Seq
+    * (compiled predicate ≤64 hosts, broadcast packed-rules join above —
+    * the same cutover the production wave loop uses). */
+  def scheduleDedup(spark: SparkSession, frontier: DataFrame, frontierTotal: Long,
+      seen: SeenState, rules: Seq[RobotsRule], hostBudget: Int, saltBuckets: Int,
+      numPartitions: Int): KernelResult =
+    scheduleDedup(spark, frontier, frontierTotal, seen,
+      Robots.policy(rules, spark), hostBudget, saltBuckets, numPartitions)
+
   /** One schedule+dedup pass.
     * frontier: (url, url_hash, host, depth, parent_ord, link_index)
     * seen:     the production bucketed seen state (bootstrap it outside
     *           the clock — it is amortized crawl state, not wave work).
+    * policy:   the size-adaptive robots policy, so the benched path IS
+    *           what a 10^7-ruled-host regime runs (broadcast packed-rules
+    *           join), not only the small-host compiled chain.
     * Returns counters; the pipeline terminates in a noop-format write so
     * every stage actually executes. */
   def scheduleDedup(spark: SparkSession, frontier: DataFrame, frontierTotal: Long,
-      seen: SeenState, rules: Seq[RobotsRule], hostBudget: Int, saltBuckets: Int,
+      seen: SeenState, policy: Robots.RobotsPolicy, hostBudget: Int, saltBuckets: Int,
       numPartitions: Int): KernelResult = {
     import org.apache.spark.sql.Observation
 
     // 1. politeness (contended-host split + two-phase salted top-k)
-    val (fetchSet0, _) = Politeness.select(frontier, rules, hostBudget, saltBuckets)
+    val (fetchSet0, _) = Politeness.select(frontier, policy, hostBudget, saltBuckets)
 
     // 2. visit ids (persisted: the prefilter-split consumes it twice)
     val fetchSet = Ranker.orderIsomorphicId(fetchSet0, priorityKeys, "ord",
       1L << 50, numPartitions).persist()
     val scheduled = fetchSet.count()
 
-    // 3. dedup: per-bucket prefilter + exact anti-join of filter-positives
-    // against the bucketed pieces — the probe is a native codegen
-    // expression (no per-row boxing) over SeenState's layered broadcasts
-    // (base ships on rebase only; each wave ships just its delta image);
-    // the anti-join exchanges only the candidate side (the seen pieces
-    // are pre-partitioned on url_hash)
-    val mightContain = seen.probe(col("url_hash"))
-    val fresh = fetchSet.filter(!mightContain)
-    val maybe = fetchSet.filter(mightContain)
-    val confirmed = seen.antiJoin(maybe)
-    val newUrls = fresh.unionByName(confirmed)
+    // 3. dedup: one candidate exchange into the seen bucket partitioning,
+    // post-exchange layered prefilter (task p faults in only bucket p's
+    // file-bank image — O(seen/B) resident per executor; delta layers are
+    // O(wave) broadcasts), filter-negatives skip the exact anti-join
+    // chain; the seen pieces never re-shuffle (SeenState.freshAndConfirmed)
+    val newUrls = seen.freshAndConfirmed(fetchSet)
 
-    // 4. robots
+    // 4. robots through the same size-adaptive policy face
     val path = coalesce(nullif(parse_url(col("url"), lit("PATH")), lit("")), lit("/"))
-    val allowed = Robots.compile(rules, col("host"), path)
 
     val obs = Observation(s"kernel-${obsCounter.incrementAndGet()}")
-    val admitted = newUrls
+    val admitted = policy.withAllowed(newUrls, path, "__allowed")
       .observe(obs,
         count(lit(1)).as("new"),
-        sum(when(allowed, 1L).otherwise(0L)).as("adm"))
-      .filter(allowed)
+        sum(when(col("__allowed"), 1L).otherwise(0L)).as("adm"))
+      .filter(col("__allowed"))
+      .drop("__allowed")
     admitted.write.format("noop").mode("overwrite").save()
 
     val nNew = obs.get("new").asInstanceOf[Long]

@@ -38,23 +38,52 @@ object Politeness {
       saltBuckets: Int): (DataFrame, DataFrame) =
     select(frontier, Robots.Compiled(rules), hostBudget, saltBuckets)
 
-  /** Split frontier into (fetchSet, deferred) honoring per-host budgets.
-    * Input must have columns host, url_hash, depth, parent_ord,
-    * link_index (extra columns pass through). */
   def select(frontier: DataFrame, policy: Robots.RobotsPolicy, hostBudget: Int,
+      saltBuckets: Int): (DataFrame, DataFrame) =
+    selectWith(frontier,
+      (df, out) => policy.withBudget(df, hostBudget, out), saltBuckets)
+
+  /** Cross-wave virtual-clock budgeter (SURVEY P1: `ts_next(host) =
+    * ts_last + crawl_delay` carryover). Wave w spans virtual ticks
+    * [w·T, (w+1)·T), T = hostBudget; a host with effective delay d and
+    * carried next-allowed time `next_ts` fetches at max(next_ts, w·T),
+    * +d, +2d, … strictly below the wave end — so its budget this wave is
+    * ⌈(waveEnd − start)/d⌉ (possibly 0: a host can be fully blocked for a
+    * wave by last wave's overhang, the carryover the plain per-wave
+    * budget cannot express). The clock table joins on the per-host
+    * AGGREGATE first (tier 1), so the broadcast is one row per host. */
+  def clockedBudgeter(policy: Robots.RobotsPolicy, clock: DataFrame, wave: Int,
+      ticksPerWave: Int): (DataFrame, String) => DataFrame = (df, out) => {
+    val wStart = wave.toLong * ticksPerWave
+    val wEnd = wStart + ticksPerWave
+    policy.withDelay(df, "__vd")
+      .join(broadcast(clock.select(col("host"), col("next_ts"))), Seq("host"), "left_outer")
+      .withColumn("__vstart", greatest(coalesce(col("next_ts"), lit(0L)), lit(wStart)))
+      .withColumn(out,
+        when(col("__vstart") >= lit(wEnd), lit(0))
+          .otherwise(floor((lit(wEnd) - col("__vstart") + col("__vd") - lit(1L)) /
+            col("__vd")).cast("int")))
+      .drop("__vd", "__vstart", "next_ts")
+  }
+
+  /** Split frontier into (fetchSet, deferred) honoring per-host budgets
+    * attached by `budgeter` (constant-per-wave policy budget, or the
+    * virtual-clock carryover budget). Input must have columns host,
+    * url_hash, depth, parent_ord, link_index (extra columns pass
+    * through). */
+  def selectWith(frontier: DataFrame, budgeter: (DataFrame, String) => DataFrame,
       saltBuckets: Int): (DataFrame, DataFrame) = {
     // tier 1: hosts under budget skip the windows entirely. The budget
     // joins against the per-host AGGREGATE (one row per host), so the
     // join path never touches the full frontier here.
     val hostCounts = frontier.groupBy(col("host")).agg(count(lit(1)).as("__hn"))
-    val contendedHosts = policy.withBudget(hostCounts, hostBudget, "__budget")
+    val contendedHosts = budgeter(hostCounts, "__budget")
       .filter(col("__hn") > col("__budget"))
       .select(col("host"), lit(true).as("__contended"))
     val tagged = frontier.join(broadcast(contendedHosts), Seq("host"), "left_outer")
     val uncontended = tagged.filter(col("__contended").isNull).drop("__contended")
-    val contended = policy.withBudget(
-      tagged.filter(col("__contended").isNotNull).drop("__contended"),
-      hostBudget, "__budget")
+    val contended = budgeter(
+      tagged.filter(col("__contended").isNotNull).drop("__contended"), "__budget")
 
     // tier 2: salted pre-window (hot host spread over saltBuckets tasks)
     val salted = contended.withColumn("__salt", pmod(col("url_hash"), lit(saltBuckets)))

@@ -35,6 +35,10 @@ object Robots {
     /** df + int column `out`: per-host politeness budget
       * max(1, hostBudget / max(1, crawl_delay)). */
     def withBudget(df: DataFrame, hostBudget: Int, out: String): DataFrame
+    /** df + long column `out`: effective per-host crawl_delay in virtual
+      * ticks — max(1, crawl_delay); hosts without a rule get 1. Feeds the
+      * cross-wave virtual-clock schedule (Politeness.clockedBudgeter). */
+    def withDelay(df: DataFrame, out: String): DataFrame
   }
 
   final case class Compiled(rules: Seq[RobotsRule]) extends RobotsPolicy {
@@ -42,6 +46,8 @@ object Robots {
       df.withColumn(out, compile(rules, col("host"), path))
     def withBudget(df: DataFrame, hostBudget: Int, out: String): DataFrame =
       df.withColumn(out, budgetColumn(rules, col("host"), hostBudget))
+    def withDelay(df: DataFrame, out: String): DataFrame =
+      df.withColumn(out, delayColumn(rules, col("host")))
   }
 
   /** packed: one row per host — (host, __rules: array<struct<prefix,
@@ -67,6 +73,21 @@ object Robots {
             .otherwise(greatest(lit(1),
               floor(lit(hostBudget) / greatest(lit(1), col("__delay"))).cast("int"))))
         .drop("__delay")
+    }
+    def withDelay(df: DataFrame, out: String): DataFrame =
+      df.join(broadcast(packed.select(col("host"), col("__delay"))),
+          Seq("host"), "left_outer")
+        .withColumn(out, greatest(lit(1L), coalesce(col("__delay").cast("long"), lit(1L))))
+        .drop("__delay")
+  }
+
+  /** Per-host effective delay column (virtual ticks): max over the host's
+    * rules, 1 when unruled — the [[CrawlOracle]]-identical form. */
+  def delayColumn(rules: Seq[RobotsRule], host: Column): Column = {
+    val delays: Map[String, Int] =
+      rules.groupBy(_.host).map { case (h, rs) => h -> rs.map(_.crawl_delay).max }
+    delays.foldLeft(lit(1L)) { case (acc, (h, d)) =>
+      when(host === lit(h), lit(math.max(1, d).toLong)).otherwise(acc)
     }
   }
 

@@ -176,9 +176,108 @@ object RobotsTxt {
     def withBudget(df: org.apache.spark.sql.DataFrame, hostBudget: Int,
         out: String): org.apache.spark.sql.DataFrame =
       df.withColumn(out, budgetColumn(byHost, col("host"), hostBudget))
+    def withDelay(df: org.apache.spark.sql.DataFrame,
+        out: String): org.apache.spark.sql.DataFrame =
+      df.withColumn(out,
+        byHost.foldLeft(lit(1L)) { case (acc, (h, g)) =>
+          g.crawlDelay match {
+            case Some(d) => when(col("host") === lit(h),
+              lit(math.max(1, d).toLong)).otherwise(acc)
+            case None => acc
+          }
+        })
   }
 
   def policy(byHost: Map[String, Group]): Robots.RobotsPolicy = CompiledTxt(byHost)
+
+  /** Join-path twin of [[CompiledTxt]] for rule sets past the compile
+    * cutover: one packed row per host — rules sorted (longest pattern
+    * first, allow before disallow on ties) so the FIRST matching rule IS
+    * the RFC 9309 decision — broadcast and joined on `host` alone.
+    * Wildcard-free patterns probe via codegen `startswith`; wildcard /
+    * anchored patterns carry their pre-translated regex (`rx`) and probe
+    * via rlike. Scales to 10^7 robots.txt hosts: bodies parse where they
+    * live ([[parse_robots_txt]]), only packed rows move. */
+  final case class JoinedTxt(packed: org.apache.spark.sql.DataFrame)
+      extends Robots.RobotsPolicy {
+    def withAllowed(df: org.apache.spark.sql.DataFrame, path: Column,
+        out: String): org.apache.spark.sql.DataFrame = {
+      val joined = df.join(broadcast(packed.select(col("host"), col("__rules"))),
+        Seq("host"), "left_outer")
+      joined.withColumn(out, coalesce(
+          get(filter(col("__rules"), r =>
+            when(r.getField("wild"), rlike(path, r.getField("rx")))
+              .otherwise(startswith(path, r.getField("pattern")))), lit(0))
+            .getField("allow"),
+          lit(true)))
+        .drop("__rules")
+    }
+    def withBudget(df: org.apache.spark.sql.DataFrame, hostBudget: Int,
+        out: String): org.apache.spark.sql.DataFrame = {
+      val joined = df.join(broadcast(packed.select(col("host"), col("__delay"))),
+        Seq("host"), "left_outer")
+      joined.withColumn(out,
+          when(col("__delay").isNull, lit(hostBudget))
+            .otherwise(greatest(lit(1),
+              floor(lit(hostBudget) / greatest(lit(1), col("__delay"))).cast("int"))))
+        .drop("__delay")
+    }
+    def withDelay(df: org.apache.spark.sql.DataFrame,
+        out: String): org.apache.spark.sql.DataFrame =
+      df.join(broadcast(packed.select(col("host"), col("__delay"))),
+          Seq("host"), "left_outer")
+        .withColumn(out, greatest(lit(1L), coalesce(col("__delay").cast("long"), lit(1L))))
+        .drop("__delay")
+  }
+
+  /** Pack a distributed-parsed (host, p: parsedType) frame into the
+    * one-row-per-host broadcast layout [[JoinedTxt]] consumes. */
+  def packTxt(parsed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ex = parsed.select(col("host"),
+        col("p").getField("crawl_delay").as("__d"),
+        explode_outer(col("p").getField("rules")).as("r"))
+      .select(col("host"), col("__d"),
+        col("r").getField("pattern").as("pattern"),
+        col("r").getField("allow").as("allow"))
+      .withColumn("rx", robots_pattern_regex(col("pattern")))
+      .withColumn("wild",
+        col("pattern").contains("*") || col("pattern").endsWith("$"))
+    ex.groupBy(col("host")).agg(
+      transform(
+        sort_array(collect_list(when(col("pattern").isNotNull, struct(
+          (-length(col("pattern"))).as("nl"),
+          (!col("allow")).as("na"),
+          col("pattern").as("pattern"), col("rx").as("rx"),
+          col("wild").as("wild"), col("allow").as("allow"))))),
+        r => struct(r.getField("pattern").as("pattern"), r.getField("rx").as("rx"),
+          r.getField("wild").as("wild"), r.getField("allow").as("allow"))
+      ).as("__rules"),
+      max(col("__d")).as("__delay"))
+  }
+
+  /** Size-adaptive policy straight from a (host, body) robots.txt corpus
+    * — the CLI/production entry point (`--robots-txt`). Bodies parse
+    * DISTRIBUTED; below the cutover the parsed groups collect into the
+    * codegen'd compiled chain, above it only the packed per-host rows
+    * ever move (broadcast join) and the driver never holds a rule. */
+  def policyFromTxt(bodies: org.apache.spark.sql.DataFrame, agent: String,
+      maxCompileHosts: Int = 64): Robots.RobotsPolicy = {
+    val parsed = bodies.select(col("host"),
+      parse_robots_txt(col("body"), lit(agent)).as("p"))
+    val nHosts = parsed.select(col("host")).distinct().count()
+    if (nHosts <= maxCompileHosts) {
+      val byHost = parsed.collect().map { r =>
+        val p = r.getStruct(1)
+        val rules =
+          if (p == null) Seq.empty[TxtRule]
+          else p.getSeq[org.apache.spark.sql.Row](0)
+            .map(rr => TxtRule(rr.getString(0), rr.getBoolean(1))).toSeq
+        val delay = if (p == null || p.isNullAt(1)) None else Some(p.getInt(1))
+        r.getString(0) -> Group(rules, delay)
+      }.toMap
+      CompiledTxt(byHost)
+    } else JoinedTxt(packTxt(parsed).persist())
+  }
 
   // ---- distributed parse: a codegen Catalyst expression ------------------
 
@@ -214,4 +313,21 @@ object RobotsTxt {
 
   def parse_robots_txt(body: Column, agent: Column): Column =
     column(ParseRobotsTxt(expression(body), expression(agent)))
+
+  /** `robots_pattern_regex(pattern)` — [[toRegex]] as codegen, so the
+    * pack step translates wildcard patterns where the rules live. */
+  case class RobotsPatternRegex(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(toRegex(v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.operators.RobotsTxt.toRegex($c.toString()));""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): RobotsPatternRegex = copy(c)
+  }
+
+  def robots_pattern_regex(pattern: Column): Column =
+    column(RobotsPatternRegex(expression(pattern)))
 }

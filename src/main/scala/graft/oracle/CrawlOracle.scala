@@ -39,7 +39,8 @@ object CrawlOracle {
       onDomain: Boolean = false,
       hostBudget: Int = 4,
       maxWaves: Int = 64,
-      maxRetries: Int = 0)
+      maxRetries: Int = 0,
+      virtualClock: Boolean = false) // P1 ts_next carryover (see delayOf/clock below)
 
   final case class Result(
       visits: Vector[Visit],
@@ -54,6 +55,25 @@ object CrawlOracle {
     val delays = rules.filter(_.host == host).map(_.crawl_delay)
     val d = if (delays.isEmpty) 1 else delays.max
     math.max(1, hostBudget / math.max(1, d))
+  }
+
+  /** Effective crawl delay in virtual ticks: max over the host's rules,
+    * 1 when unruled (Robots.delayColumn's twin). */
+  def delayOf(rules: Seq[RobotsRule], host: String): Long = {
+    val delays = rules.filter(_.host == host).map(_.crawl_delay)
+    math.max(1, if (delays.isEmpty) 1 else delays.max).toLong
+  }
+
+  /** Virtual-clock wave budget: wave w spans ticks [w·T, (w+1)·T),
+    * T = hostBudget; the host fetches at max(ts_next, w·T), +d, +2d, …
+    * below the wave end — ⌈(waveEnd − start)/d⌉ slots, possibly 0 when
+    * last wave's overhang blocks the whole wave
+    * (Politeness.clockedBudgeter's twin). */
+  def clockedBudgetOf(nextTs: Long, wave: Int, ticksPerWave: Int, d: Long): Int = {
+    val wStart = wave.toLong * ticksPerWave
+    val wEnd = wStart + ticksPerWave
+    val start = math.max(nextTs, wStart)
+    if (start >= wEnd) 0 else (((wEnd - start) + d - 1) / d).toInt
   }
 
   /** Longest-prefix robots decision over the canonical URL's path;
@@ -101,6 +121,7 @@ object CrawlOracle {
     // each attempt; the seen set is unchanged (the URL stays seen, so link
     // rediscovery still counts dedup_hits).
     val fails = mutable.Map.empty[Long, Int]
+    val clock = mutable.Map.empty[String, Long] // ts_next per host (virtualClock)
     var wave = 0
     while (pending.nonEmpty && wave < cfg.maxWaves) {
       val ordered = pending.sortBy(e => (e.depth, e.parentRank, e.linkIndex))
@@ -108,10 +129,18 @@ object CrawlOracle {
       val fetchSet = Vector.newBuilder[Entry]
       val deferSet = Vector.newBuilder[Entry]
       ordered.foreach { e =>
-        val b = budgetOf(rules, e.host, cfg.hostBudget)
+        val b =
+          if (cfg.virtualClock)
+            clockedBudgetOf(clock.getOrElse(e.host, 0L), wave, cfg.hostBudget,
+              delayOf(rules, e.host))
+          else budgetOf(rules, e.host, cfg.hostBudget)
         val t = taken.getOrElse(e.host, 0)
         if (t < b) { taken(e.host) = t + 1; fetchSet += e }
         else deferSet += e
+      }
+      if (cfg.virtualClock) taken.foreach { case (h, k) =>
+        clock(h) = math.max(clock.getOrElse(h, 0L), wave.toLong * cfg.hostBudget) +
+          k.toLong * delayOf(rules, h)
       }
       val fetched = fetchSet.result()
       val deferred = deferSet.result()

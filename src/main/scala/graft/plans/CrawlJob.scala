@@ -50,6 +50,8 @@ object CrawlJob {
       compactPieces: Int = 8,       // LSM compaction threshold (anti-join chain bound)
       maxRetries: Int = 0,          // bounded fetch-miss retry (0 = reference behavior)
       robotsCompileMaxHosts: Int = 64, // compile→join cutover for robots/budget rules
+      snapshotKeep: Int = 16,       // IceLite retention: snapshots kept per table (0 = keep all)
+      virtualClock: Boolean = false, // cross-wave ts_next(host) politeness carryover (P1)
       stopRequested: () => Boolean = () => false) // graceful stop: finish wave, commit, exit
 
   // Observation names must be unique per SparkSession lifetime; a process-
@@ -65,7 +67,8 @@ object CrawlJob {
       docsFlat: IceLite.Table,
       metrics: IceLite.Table,
       failed: IceLite.Table,
-      filters: IceLite.Table)
+      filters: IceLite.Table,
+      clock: IceLite.Table)
 
   def tables(root: String, spark: SparkSession): Tables = Tables(
     IceLite.table(s"$root/frontier", spark),
@@ -75,7 +78,8 @@ object CrawlJob {
     IceLite.table(s"$root/crawl_docs_flat", spark),
     IceLite.table(s"$root/metrics", spark),
     IceLite.table(s"$root/fetch_failed", spark),
-    IceLite.table(s"$root/seen_filters", spark))
+    IceLite.table(s"$root/seen_filters", spark),
+    IceLite.table(s"$root/host_clock", spark))
 
   /** Run (or resume) the crawl to completion. `docsDf` is the synthetic
     * web: the fetch step is an equi-join against it (no network in the
@@ -129,15 +133,21 @@ object CrawlJob {
       // subset of {seen, visits, docs, docsFlat, metrics, failed} may
       // carry the uncommitted wave — the trim is order-independent.
       val w = wave
-      Seq(t.seen, t.visits, t.docs, t.docsFlat, t.metrics, t.failed).foreach {
+      Seq(t.seen, t.visits, t.docs, t.docsFlat, t.metrics, t.failed, t.clock).foreach {
         _.trimWhile(s => s.counters.get("wave").exists(_ >= w))
       }
     }
 
     // seen state: bucketed pieces + per-bucket prefilters, rebuilt from
     // the durable table on (re)start, then fed incrementally per wave.
+    // Bank scratch dirs live under the state root (shared storage, like
+    // every IceLite table) so executors can fault bucket images in; a
+    // crashed run's leftovers are swept here — the durable bank is the
+    // version-gated filters table, never these dirs.
+    SeenState.deleteDir(s"$stateRoot/seen_bank")
     val seen = new SeenState(spark, cfg.seenBuckets, cfg.seenFilter == "cuckoo",
-      cfg.bloomItems, cfg.bloomFpp, cfg.compactPieces)
+      cfg.bloomItems, cfg.bloomFpp, cfg.compactPieces,
+      bankRoot = s"$stateRoot/seen_bank")
     bootstrapSeen(spark, t, seen, cfg)
 
     val seedHosts: Set[String] = cfg.seeds.flatMap { s =>
@@ -183,32 +193,42 @@ object CrawlJob {
     val seenDf = t.seen.readOr(spark.emptyDataset[SeenUrl].toDF())
     val fast = t.filters.currentSnapshot.exists { s =>
       s.counters.get("seen_version").contains(t.seen.currentVersion.toLong) &&
+      s.counters.get("bank_format").contains(BankFormat) &&
       s.counters.get("buckets").contains(cfg.seenBuckets.toLong) &&
       s.counters.get("cuckoo").contains(if (cfg.seenFilter == "cuckoo") 1L else 0L) &&
       s.counters.contains("cap") &&
       scala.util.Try {
-        val rows = t.filters.read().select("bucket", "image", "n").collect()
-          .map(r => (r.getInt(0), r.getAs[Array[Byte]](1), r.getLong(2)))
-        seen.bootstrapFromImages(seenDf, rows, s.counters("cap"))
+        // distributed: tasks copy the persisted images into the bank dir;
+        // only the (bucket, n) stats reach the driver — never the images
+        seen.bootstrapFromBank(seenDf,
+          t.filters.read().select("bucket", "image", "n"), s.counters("cap"))
         true
       }.getOrElse(false)
     }
     if (!fast) seen.bootstrap(seenDf)
   }
 
+  // Bank image layout version: bump whenever the bucket function or the
+  // filter serialization changes — a stale-format bank must fall back to
+  // the full rebuild, never probe wrong. (v2: murmur3 partition-aligned
+  // buckets + cuckoo dropped-count header.)
+  private val BankFormat = 2L
+
   /** Durable (bucket, image, count) bank + capacity, tagged with the seen
-    * table version it covers. Driver-sized write: B rows. */
+    * table version it covers. Fully distributed: tasks read the bank
+    * files and write the parquet in B-wide parallelism — at the 10^10
+    * design point this is a ~12 GB table and a single-task write (the
+    * round-2 coalesce(1)) would serialize it through one executor. */
   private def persistFilterBank(spark: SparkSession, t: Tables, seen: SeenState,
       cfg: Config): Unit = {
-    import spark.implicits._
-    val (imgs, cap) = seen.exportImages()
     t.filters.replace(
-      imgs.toSeq.toDF("bucket", "image", "n").coalesce(1),
+      seen.bankDf(),
       Map(
         "seen_version" -> t.seen.currentVersion.toLong,
+        "bank_format" -> BankFormat,
         "buckets" -> cfg.seenBuckets.toLong,
         "cuckoo" -> (if (cfg.seenFilter == "cuckoo") 1L else 0L),
-        "cap" -> cap))
+        "cap" -> seen.capacityPerBucket))
   }
 
   private val priorityKeys = Seq(col("depth"), col("parent_ord"), col("link_index"))
@@ -242,9 +262,19 @@ object CrawlJob {
     }
 
     // --- politeness: contended-host split + two-phase salted top-k
-    //     (SURVEY §2.4 P1/P4; see graft.operators.Politeness) ------------
-    val (fetchRaw, deferRaw) = Politeness.select(
-      frontier, policy, cfg.hostBudget, cfg.saltBuckets)
+    //     (SURVEY §2.4 P1/P4; see graft.operators.Politeness). With the
+    //     virtual clock on, the per-host budget carries ts_next across
+    //     waves (a hot host's overhang from wave w SHRINKS its wave-w+1
+    //     budget — the pacing a constant per-wave budget cannot express).
+    def emptyClock = spark.range(0)
+      .select(col("id").cast("string").as("host"), col("id").as("next_ts"))
+    val (fetchRaw, deferRaw) =
+      if (!cfg.virtualClock)
+        Politeness.select(frontier, policy, cfg.hostBudget, cfg.saltBuckets)
+      else Politeness.selectWith(frontier,
+        Politeness.clockedBudgeter(policy, t.clock.readOr(emptyClock), wave,
+          cfg.hostBudget),
+        cfg.saltBuckets)
     val deferred0 = deferRaw.persist()
 
     // --- visit-order ids: order-isomorphic, no global window ------------
@@ -268,6 +298,25 @@ object CrawlJob {
       Map("wave" -> wave.toLong))
     val nFetch = obsVisits.get("n").asInstanceOf[Long]
     mark("visits_write")
+
+    // --- virtual-clock advance: ts_next(host) += fetched × delay --------
+    // Committed BEFORE the frontier marker and tagged with the wave, so a
+    // crash replays it consistently (the resume trim rolls it back with
+    // every other uncommitted-wave append). One host-count-sized
+    // aggregate + join — never a frontier-sized shuffle.
+    if (cfg.virtualClock) {
+      val counts = fetchSet.groupBy(col("host")).agg(count(lit(1)).as("__k"))
+      val merged = policy.withDelay(
+          t.clock.readOr(emptyClock).join(counts, Seq("host"), "full_outer"), "__vd")
+        .select(col("host"),
+          when(col("__k").isNull, col("next_ts"))
+            .otherwise(
+              greatest(coalesce(col("next_ts"), lit(0L)),
+                lit(wave.toLong * cfg.hostBudget)) + col("__k") * col("__vd"))
+            .as("next_ts"))
+      t.clock.replace(merged.repartition(p, col("host")), Map("wave" -> wave.toLong))
+      mark("clock_write")
+    }
 
     // --- extraction sinks (two-sink fan-out from one cached wave) -------
     // The doc sinks don't feed the frontier update, so they run as a
@@ -323,22 +372,18 @@ object CrawlJob {
         .persist()
       mark("winners_plan")
 
-      // prefilter: filter-negative rows are provably unseen and skip the
-      // anti-join; filter-positive rows get exact confirmation against
-      // the bucketed seen pieces (one candidate-side exchange, zero seen-
-      // side exchange — SeenState class doc). The probe is a native
-      // codegen expression (no UDF boxing in the hot path) over the
-      // LAYERED broadcasts (base + per-wave deltas): this wave ships only
-      // the previous wave's delta image to executors, not the whole
-      // filter bank — O(wave) broadcast bytes, not O(seen).
-      val mightContain = seen.probe(col("url_hash"))
-      val fresh = winners.filter(!mightContain)
-      val maybe = winners.filter(mightContain)
-      val confirmed = seen.antiJoin(maybe)
+      // dedup: candidates exchange ONCE into the seen bucket partitioning,
+      // then the layered prefilter probes POST-exchange (task p faults in
+      // only bucket p's image from the file bank — O(seen/B) resident per
+      // executor, O(wave) broadcast bytes for the delta layers) and
+      // filter-negatives skip the exact anti-join chain entirely
+      // (SeenState.freshAndConfirmed; probe is native codegen, no UDF
+      // boxing in the hot path).
+      val newCands = seen.freshAndConfirmed(winners)
       // --- robots decision through the size-adaptive policy (O8) --------
       val path = coalesce(nullif(parse_url(col("cand"), lit("PATH")), lit("")), lit("/"))
       val newSeen = policy.withAllowed(
-          fresh.unionByName(confirmed).withColumn("host", url_host(col("cand"))),
+          newCands.withColumn("host", url_host(col("cand"))),
           path, "__allowed")
         .persist()
 
@@ -425,6 +470,12 @@ object CrawlJob {
     else t.frontier.replace(
       nextFrontier.repartition(nextP, col("url_hash")), counters)
     t.metrics.append(Seq(metrics).toDF().coalesce(1), Map("wave" -> wave.toLong))
+    // retention: a long crawl must not accumulate every wave's frontier
+    // forever — expire old snapshots (metadata + unreferenced data dirs)
+    // past the keep horizon. The resume trim only ever walks the newest
+    // versions, so exact kill/resume is unaffected (gated by tests).
+    Seq(t.frontier, t.seen, t.visits, t.docs, t.docsFlat, t.metrics, t.failed, t.clock)
+      .foreach(_.expire(cfg.snapshotKeep))
     mark("frontier_commit")
 
     // the async fold reads this wave's cached newSeen — land it before

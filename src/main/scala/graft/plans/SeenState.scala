@@ -7,13 +7,15 @@ import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** Distributed URL-seen state for the 10^10 path (SURVEY §7.5(4)): an
   * LSM-style stack of hash-bucketed, executor-resident pieces (the EXACT
   * side of dedup) + one approximate prefilter per bucket (bloom or
   * cuckoo).
   *
-  * Scale design — what replaces round 1's single in-memory union + one
-  * fixed-size bloom:
+  * Scale design — per-wave maintenance is O(wave) in BOTH directions and
+  * the probe face is O(seen/B) per executor:
   *
   *  - **Bucket-aligned anti-join, candidate rows are the only shuffle.**
   *    Every piece is `repartition(B, url_hash)` + sorted + lineage-
@@ -29,37 +31,48 @@ import org.apache.spark.util.sketch.BloomFilter
   *  - **Piece compaction.** The chain length is bounded: past `compactAt`
   *    pieces the stack compacts into one (a single re-shuffle of the seen
   *    hashes, amortized O(log waves) times over a crawl — LSM economics).
-  *  - **Per-bucket prefilters with saturation-aware resizing.** One
-  *    filter per bucket, all sized `perBucketCap`. Wave deltas build per
-  *    bucket with ONE `groupBy(pmod(url_hash,B))` aggregate over the
-  *    wave's (cached) new rows and merge in. When any bucket's exact
-  *    count passes its capacity — the point where a fixed filter's FPP
-  *    silently decays toward 1 and the prefilter stops prefiltering —
-  *    ALL buckets rebuild at doubled capacity from the pieces
-  *    (amortized O(log n) rebuilds). Exactness never depends on the
-  *    filter (the anti-join confirms positives); capacity only buys back
-  *    the prefilter's selectivity.
+  *  - **Per-wave filter builds are DELTA-ONLY.** A wave builds per-bucket
+  *    filter images sized to the WAVE's own counts (one distributed
+  *    aggregate over the wave's cached rows) — the bytes collected to the
+  *    driver per wave are ∝ wave size ([[lastWaveCollectedFilterBytes]]
+  *    proves it), never ∝ seen capacity. Cuckoo deltas are verified
+  *    LOSSLESS: the aggregate carries a dropped-insert count in the image
+  *    header, and any saturation (a skewed bucket overflowing its sizing
+  *    guess) rebuilds the delta at the bucket's exact cardinality — a
+  *    lossy layer is never pushed (a filter false negative would skip the
+  *    exact anti-join and re-admit a seen URL).
+  *  - **The merged bank lives in shared storage, not on the driver and
+  *    not in a broadcast.** Every `rebaseEvery` waves (and on saturation
+  *    resize) the bank is rebuilt FROM THE PIECES by one distributed pass
+  *    whose tasks write per-bucket image files under `bankRoot` — the
+  *    driver never holds or ships an O(seen-capacity) image (round 2
+  *    collected ~12 GB/wave to the driver at the 10^10 design point; this
+  *    collects the per-bucket (count, dropped) stats only). Amortized
+  *    bank-rebuild cost is O(seen/rebaseEvery) rows per wave.
+  *  - **Probe face = FileBank base + per-wave delta broadcasts.** The
+  *    base broadcast carries only the bank dir paths
+  *    ([[LongMembership.FileBank]]); executors fault in per-bucket images
+  *    lazily. Because the bank bucket function IS the candidate
+  *    exchange's partition id ([[LongMembership.bucketOf]]), probing
+  *    AFTER the exchange ([[freshAndConfirmed]]) touches exactly one
+  *    bucket per task — executor residency is O(seen/B) per task slot,
+  *    not O(seen). Wave deltas ride as small in-memory broadcast layers
+  *    (O(wave) bytes) OR-ed in codegen (MightContainLong), folded into
+  *    the bank at the next rebase; probe depth ≤ rebaseEvery+1.
+  *  - **Nothing broadcast-reachable is ever mutated.** Delta layers are
+  *    immutable once broadcast; bank files are immutable once written
+  *    (rebase/resize/unsee write NEW versioned dirs); retired broadcasts
+  *    and dirs are destroyed only at the caller's wave boundary
+  *    ([[releaseRetired]]) because a cache-evicted partition of a live
+  *    wave plan may recompute the probe mid-wave.
   *  - **Deletion (cuckoo mode).** The bounded-retry policy un-sees
   *    re-queued fetch misses: a per-bucket cuckoo delta built over the
-  *    retried hashes is DELETED from the bucket filters (partial-key
-  *    deletion, CuckooFilterImpl.deleteInPlace) and then re-inserted,
-  *    because a retried URL remains in the exact seen set (direct
-  *    re-admission; link rediscovery must still dedup against it). No
-  *    driver-side collect: the delta rides the same distributed
-  *    aggregate as the wave filters.
-  *  - **Broadcast LSM (per-wave broadcast bytes are O(wave)).** Shipping
-  *    the full filter bank to executors every wave would move O(seen)
-  *    bytes per wave (~12 GB at 10^10, 0.01 FPP). Instead the probe face
-  *    is layered: a BASE broadcast (the merged bucket filters, re-shipped
-  *    only on bootstrap/resize/rebase) plus one small per-wave DELTA
-  *    broadcast (bucket filters sized to the wave's own counts). The
-  *    probe ORs the layers inside codegen (MightContainLong). Every
-  *    `rebaseEvery` waves the deltas fold into a fresh base broadcast —
-  *    amortized base re-ship cost O(seen/rebaseEvery) per wave, bounded
-  *    probe depth ≤ rebaseEvery+1. Retired broadcasts are destroyed at
-  *    the caller's wave boundary ([[releaseRetired]]) — never mid-wave,
-  *    because a cache-evicted partition of a wave plan may recompute the
-  *    probe.
+  *    retried hashes is deleted-then-reinserted against COPIES of the
+  *    affected bucket images, written as an overlay dir (partial-key
+  *    deletion, CuckooFilterImpl.deleteInPlace) — the retried URL remains
+  *    in the exact seen set (direct re-admission; link rediscovery must
+  *    still dedup against it), and no live broadcast observes a
+  *    transiently-missing fingerprint.
   */
 final class SeenState(
     spark: SparkSession,
@@ -68,35 +81,43 @@ final class SeenState(
     expectedItems: Long,
     fpp: Double,
     compactAt: Int,
-    rebaseEvery: Int = 8) {
+    rebaseEvery: Int = 8,
+    bankRoot: String = null) {
+
+  import spark.implicits._
 
   private val B = buckets
   private var pieces: Vector[DataFrame] = Vector.empty
   private var perBucketCap: Long = math.max(1024L, expectedItems / B)
   private val bucketCounts: Array[Long] = Array.fill(B)(0L)
-  private var blooms: Array[BloomFilter] = _
-  private var cuckoos: Array[CuckooFilterImpl] = _
   private var nResizes: Int = 0
   private var nCompactions: Int = 0
   private var nRebases: Int = 0
   private var baseBc: Broadcast[LongMembership] = _
   private var deltaBcs: Vector[Broadcast[LongMembership]] = Vector.empty
+  private var deltaFaces: Vector[LongMembership] = Vector.empty
   private var retiredBcs: Vector[Broadcast[LongMembership]] = Vector.empty
-  allocEmptyFilters()
+  private var retiredDirs: Vector[String] = Vector.empty
+  private var bankDirs: Vector[String] = Vector.empty
+  private var bankVersion: Int = 0
+  private var lastCollected: Long = 0L
+  private var totalCollected: Long = 0L
 
-  private def allocEmptyFilters(): Unit =
-    if (useCuckoo) cuckoos = Array.fill(B)(CuckooFilterImpl.create(perBucketCap))
-    else blooms = Array.fill(B)(BloomFilter.create(perBucketCap, fpp))
+  // Unique instance root: a crashed run's stale bank files must never be
+  // read as current state (the durable bank rides the IceLite filters
+  // table, version-gated — these dirs are scratch).
+  private val instRoot: String = {
+    val base =
+      if (bankRoot != null) Paths.get(bankRoot)
+      else Files.createTempDirectory("graft-seen-bank")
+    Files.createDirectories(base)
+    base.resolve(java.util.UUID.randomUUID.toString.take(8)).toString
+  }
 
-  private def bucketCol: Column = pmod(col("url_hash"), lit(B.toLong))
-
-  /** The broadcastable probe face (UrlExpressions.might_contain_long
-    * dispatches per row on pmod(url_hash, B)). */
-  def prefilter: LongMembership =
-    if (useCuckoo)
-      LongMembership.Bucketed(cuckoos.map(c => LongMembership.Cuckoo(c): LongMembership))
-    else
-      LongMembership.Bucketed(blooms.map(b => LongMembership.Bloom(b): LongMembership))
+  /** Bucket column — MUST equal the partition id `repartition(B,
+    * url_hash)` assigns (pmod(murmur3, B), see LongMembership.bucketOf)
+    * so bank buckets co-locate with exchanged candidates. */
+  private def bucketCol: Column = pmod(hash(col("url_hash")), lit(B)).cast("int")
 
   /** Hash-bucket + sort + truncate lineage: the retained physical layout
     * every later anti-join aligns to without exchanging this side.
@@ -109,15 +130,6 @@ final class SeenState(
         .repartition(B, col("url_hash"))
         .sortWithinPartitions("url_hash"),
       "url_hash", B)
-
-  /** One distributed pass: per-bucket filter images + exact counts.
-    * The input is repartitioned BY BUCKET first so the partial-aggregate
-    * phase holds ONE filter buffer per partition — without it every
-    * partition materializes a buffer for every bucket (partitions × B ×
-    * filterBytes), which at 10^8-row bootstraps is gigabytes of
-    * aggregation state. */
-  private def buildFilters(df: DataFrame): Array[(Int, Array[Byte], Long)] =
-    buildFiltersAt(df, perBucketCap)
 
   // graft_bloom_agg, not Spark's bloom_filter_agg: the builtin clamps
   // items to the 4M runtime-filter conf while keeping the caller's bit
@@ -147,62 +159,122 @@ final class SeenState(
     pre.groupBy(col("__b"))
   }
 
-  private def buildFiltersAt(df: DataFrame, cap: Long): Array[(Int, Array[Byte], Long)] =
+  /** One distributed pass: per-bucket (image, exact count, dropped
+    * inserts). `dropped` is nonzero only for a saturated cuckoo build —
+    * the caller must treat such an image as LOSSY and rebuild bigger. */
+  private def buildImages(df: DataFrame, cap: Long): Array[(Int, Array[Byte], Long, Long)] =
     grouped(df, estFilterBytes(cap))
       .agg(aggFor(cap).as("f"), count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getAs[Array[Byte]](1), r.getLong(2)))
+      .map { r =>
+        val img = r.getAs[Array[Byte]](1)
+        val dropped = if (useCuckoo) CuckooFilterImpl.droppedOf(img) else 0L
+        (r.getInt(0), img, r.getLong(2), dropped)
+      }
 
-  /** One distributed pass producing BOTH the merge-sized image and the
-    * wave-sized delta image per bucket (the wave path: two jobs folded
-    * into one — per-wave filter-build latency, not throughput, is what
-    * shows up in a 23-wave crawl). */
-  private def buildBigAndDelta(df: DataFrame, bigCap: Long, deltaCap: Long)
-      : Array[(Int, Array[Byte], Array[Byte], Long)] =
-    grouped(df, estFilterBytes(bigCap) + estFilterBytes(deltaCap))
-      .agg(aggFor(bigCap).as("f"), aggFor(deltaCap).as("fd"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getAs[Array[Byte]](1),
-        r.getAs[Array[Byte]](2), r.getLong(3)))
-
-  private def membershipOf(bytes: Array[Byte]): LongMembership =
-    if (useCuckoo) LongMembership.Cuckoo(CuckooFilterImpl.deserialize(bytes))
-    else LongMembership.Bloom(BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes)))
-
-  /** Re-ship the merged bucket filters as a fresh base broadcast and
-    * retire the old layers (destroyed at the next [[releaseRetired]]). */
-  private def rebase(): Unit = {
-    if (baseBc != null) { retiredBcs :+= baseBc; nRebases += 1 }
-    retiredBcs ++= deltaBcs
-    deltaBcs = Vector.empty
-    baseBc = spark.sparkContext.broadcast(prefilter)
+  /** Wave-sized delta images, guaranteed lossless (cuckoo) and sized to
+    * the real per-bucket cardinality (a skewed bucket past the initial
+    * guess triggers a rebuild at its exact count — bloom keeps its FPP,
+    * cuckoo keeps the no-false-negative contract). Collected bytes are
+    * ∝ the wave's row count, never ∝ seen capacity. */
+  private def buildDelta(df: DataFrame, capGuess: Long): Array[(Int, Array[Byte], Long, Long)] = {
+    var cap = capGuess
+    var fs = buildImages(df, cap)
+    var attempts = 0
+    while (fs.nonEmpty && attempts < 6 &&
+        (fs.map(_._4).sum > 0L || fs.map(_._3).max > cap)) {
+      cap = math.max(2 * fs.map(_._3).max, cap * 2)
+      fs = buildImages(df, cap)
+      attempts += 1
+    }
+    require(fs.forall(_._4 == 0L),
+      s"cuckoo delta still lossy after $attempts rebuilds (cap=$cap)")
+    fs
   }
 
-  private def mergeFilters(fs: Array[(Int, Array[Byte], Long)]): Unit =
-    fs.foreach { case (b, bytes, _) =>
-      if (useCuckoo) cuckoos(b).mergeInPlace(CuckooFilterImpl.deserialize(bytes))
-      else blooms(b).mergeInPlace(BloomFilter.readFrom(bytes))
+  private def membershipOf(bytes: Array[Byte]): LongMembership =
+    LongMembership.deserializeFilter(bytes, useCuckoo)
+
+  private def nextBankDir(): String = {
+    bankVersion += 1
+    Paths.get(instRoot, s"v$bankVersion").toString
+  }
+
+  /** One distributed pass over `df` building the bank at `cap`: tasks
+    * write per-bucket image files under `dir` (shared storage) and only
+    * per-bucket (count, dropped) stats return to the driver — the images
+    * themselves never leave the executors. */
+  private def writeBankFiles(df: DataFrame, cap: Long, dir: String): Array[(Int, Long, Long)] = {
+    Files.createDirectories(Paths.get(dir))
+    val cuckoo = useCuckoo
+    grouped(df, estFilterBytes(cap))
+      .agg(aggFor(cap).as("f"), count(lit(1)).as("n"))
+      .select(col("__b"), col("f"), col("n"))
+      .as[(Int, Array[Byte], Long)]
+      .map { case (b, img, n) =>
+        val dropped = if (cuckoo) CuckooFilterImpl.droppedOf(img) else 0L
+        if (dropped == 0L) SeenState.writeBucketFile(dir, b, img)
+        (b, n, dropped)
+      }
+      .collect()
+  }
+
+  /** Retire the current probe layers and install `dirs` as the new base.
+    * `foldDeltas`: the new bank was rebuilt from the pieces and therefore
+    * covers every delta — fold them (rebase/resize). An unsee overlay
+    * leaves the deltas in place (bank coverage is unchanged). */
+  private def swapBase(dirs: Vector[String], foldDeltas: Boolean): Unit = {
+    if (baseBc != null) { retiredBcs :+= baseBc; nRebases += 1 }
+    if (foldDeltas) {
+      retiredBcs ++= deltaBcs
+      deltaBcs = Vector.empty
+      deltaFaces = Vector.empty
     }
+    retiredDirs ++= bankDirs.diff(dirs)
+    bankDirs = dirs
+    baseBc = spark.sparkContext.broadcast(
+      LongMembership.FileBank(dirs, B, useCuckoo): LongMembership)
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(s"[seen] base broadcast id=${baseBc.id} retired=${retiredBcs.map(_.id)}")
+  }
+
+  /** Rebuild the bank from the pieces at the current capacity (growing it
+    * if a bucket outgrew the cap or a cuckoo build saturated) and swap it
+    * in. Amortized: called every `rebaseEvery` waves (delta fold), on
+    * saturation resize, and at bootstrap. Returns per-bucket counts. */
+  private def materializeBank(): Array[(Int, Long)] = {
+    var out: Array[(Int, Long)] = null
+    var done = false
+    while (!done) {
+      val dir = nextBankDir()
+      val stats =
+        if (pieces.isEmpty) Array.empty[(Int, Long, Long)]
+        else writeBankFiles(allPieces, perBucketCap, dir)
+      val maxN = if (stats.isEmpty) 0L else stats.map(_._2).max
+      val drops = stats.map(_._3).sum
+      if (drops > 0L || maxN > perBucketCap) {
+        SeenState.deleteDir(dir) // scrapped attempt — never broadcast
+        perBucketCap = math.max(perBucketCap * 2, maxN * 2)
+      } else {
+        swapBase(Vector(dir), foldDeltas = true)
+        out = stats.map(t => (t._1, t._2))
+        done = true
+      }
+    }
+    out
+  }
 
   private def allPieces: DataFrame = pieces.reduce(_ unionByName _)
 
-  /** Init or resume: absorb the durable seen table in one pass, sizing
-    * the bucket filters off the REAL per-bucket cardinality. */
+  /** Init or resume: absorb the durable seen table in one pass. The bank
+    * build sizes itself off the real per-bucket cardinality (capacity
+    * doubles until every bucket fits). */
   def bootstrap(seenDf: DataFrame): Unit = {
     awaitFold()
     pieces.foreach(GraftShim.freeCheckpoint) // re-bootstrap (e.g. bank fallback)
-    val piece = prep(seenDf)
-    pieces = Vector(piece)
+    pieces = Vector(prep(seenDf))
     java.util.Arrays.fill(bucketCounts, 0L)
-    val counts = piece.groupBy(bucketCol.as("__b")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
-    counts.foreach { case (b, n) => bucketCounts(b) = n }
-    val maxN = if (counts.isEmpty) 0L else counts.map(_._2).max
-    if (maxN > perBucketCap) perBucketCap = 2 * maxN
-    allocEmptyFilters()
-    mergeFilters(buildFilters(piece))
-    rebase()
+    materializeBank().foreach { case (b, n) => bucketCounts(b) = n }
   }
 
   // In-flight asynchronous fold (addWaveAsync). Every state-reading
@@ -228,34 +300,23 @@ final class SeenState(
   }
 
   /** Absorb one wave's new seen hashes (caller guarantees non-empty and
-    * cached upstream — the groupBy below reads the cache, not the plan). */
+    * cached upstream — the delta aggregate reads the cache, not the
+    * plan). Per-wave cost: one piece prep + one WAVE-SIZED delta build;
+    * the merged bank is only touched at rebase/resize/compact
+    * boundaries. */
   def addWave(newSeenHashes: DataFrame, knownCount: Long = -1L): Unit = {
     val piece = prep(newSeenHashes)
     pieces :+= piece
-    // wave delta for the probe face: bucket filters built at the WAVE's
-    // cardinality (a filter image's size tracks capacity, not content —
-    // aggregating small is what keeps the per-wave broadcast O(wave)).
-    // When the caller already knows the wave's row count (CrawlJob reads
-    // it off the seen-append observation) both images build in ONE
-    // distributed pass; otherwise a second wave-sized pass sizes the
-    // delta off the first pass's exact counts.
-    if (knownCount >= 0L) {
-      val deltaCap = math.max(2L * knownCount / B, 1024L)
-      val both = buildBigAndDelta(piece, perBucketCap, deltaCap)
-      mergeFilters(both.map { case (b, f, _, n) => (b, f, n) })
-      both.foreach { case (b, _, _, n) => bucketCounts(b) += n }
-      if (bucketCounts.max > perBucketCap) resize() // rebases (folds deltas)
-      else if (both.nonEmpty)
-        pushDelta(both.map { case (b, _, fd, _) => (b, fd) })
-    } else {
-      val fs = buildFilters(piece)
-      mergeFilters(fs)
-      fs.foreach { case (b, _, n) => bucketCounts(b) += n }
-      if (bucketCounts.max > perBucketCap) resize()
-      else if (fs.nonEmpty) {
-        val deltaCap = math.max(fs.map(_._3).max * 2, 1024L)
-        pushDelta(buildFiltersAt(piece, deltaCap).map { case (b, fd, _) => (b, fd) })
-      }
+    val capGuess =
+      if (knownCount >= 0L) math.max(2L * knownCount / B, 1024L) else 1024L
+    val fs = buildDelta(piece, capGuess)
+    fs.foreach { case (b, _, n, _) => bucketCounts(b) += n }
+    lastCollected = fs.map(_._2.length.toLong).sum
+    totalCollected += lastCollected
+    if (bucketCounts.max > perBucketCap) resize()
+    else if (fs.nonEmpty) {
+      pushDelta(fs.map { case (b, img, _, _) => (b, img) })
+      if (deltaBcs.size >= rebaseEvery) rebase()
     }
     if (pieces.size >= compactAt) compact()
   }
@@ -263,26 +324,61 @@ final class SeenState(
   private def pushDelta(images: Array[(Int, Array[Byte])]): Unit = {
     val layers: Array[LongMembership] = Array.fill(B)(LongMembership.Empty)
     images.foreach { case (b, bytes) => layers(b) = membershipOf(bytes) }
-    deltaBcs :+= spark.sparkContext.broadcast(
-      LongMembership.Bucketed(layers): LongMembership)
-    if (deltaBcs.size >= rebaseEvery) rebase()
+    val face: LongMembership = LongMembership.Bucketed(layers)
+    deltaFaces :+= face
+    val __bc = spark.sparkContext.broadcast(face)
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(s"[seen] delta broadcast id=${__bc.id}")
+    deltaBcs :+= __bc
   }
 
+  /** Fold the delta layers into a fresh bank rebuilt from the pieces —
+    * one distributed pass, amortized O(seen/rebaseEvery) rows per wave;
+    * nothing O(seen) touches the driver. */
+  private def rebase(): Unit = {
+    materializeBank()
+    ()
+  }
+
+  /** The probe face (driver-side view, for tests/tools): bank ∨ deltas. */
+  def prefilter: LongMembership =
+    LongMembership.Layered(
+      (LongMembership.FileBank(bankDirs, B, useCuckoo): LongMembership) +: deltaFaces)
+
   /** The layered probe column for this wave: base ∨ deltas, all inside
-    * whole-stage codegen. Capture per wave (the layer set changes). */
+    * whole-stage codegen. Capture per wave (the layer set changes).
+    * NOTE: memory-bounded only AFTER a repartition(B, url_hash) — use
+    * [[freshAndConfirmed]] on the hot path so each task faults in just
+    * its own bucket's image. */
   def probe(c: Column): Column = {
     awaitFold()
-    if (baseBc == null) rebase()
+    if (baseBc == null) materializeBankIfAny()
     UrlExpressions.might_contain_any(c, baseBc +: deltaBcs)
   }
 
-  /** Destroy broadcasts retired by rebase/resize. Call ONLY at a wave
-    * boundary, after every plan that could re-evaluate the previous
-    * wave's probe has been committed and unpersisted. */
+  private def materializeBankIfAny(): Unit =
+    if (pieces.nonEmpty) { materializeBank(); () }
+    else swapBase(Vector(nextBankDir()), foldDeltas = false) // empty bank
+
+  /** Destroy broadcasts and bank dirs retired by rebase/resize/unsee.
+    * Call ONLY at a wave boundary, after every plan that could
+    * re-evaluate the previous wave's probe has been committed and
+    * unpersisted (a recomputed partition may lazily fault in a retired
+    * bucket image mid-wave). */
   def releaseRetired(): Unit = {
     awaitFold()
-    retiredBcs.foreach(b => scala.util.Try(b.destroy()))
+    // unpersist, NOT destroy: executor blocks are freed now (the memory
+    // that matters at scale), but the handle stays serializable — plan /
+    // RDD object graphs from earlier waves (piece lineage, cached plan
+    // trees) can still transitively reference a retired broadcast when a
+    // later wave's task closure serializes, and a destroyed handle fails
+    // that serialization outright. The driver-held value is garbage once
+    // unreferenced; ContextCleaner then destroys it. close() still hard-
+    // destroys everything at end of run (bench reps must not leak).
+    retiredBcs.foreach(b => scala.util.Try(b.unpersist(blocking = false)))
     retiredBcs = Vector.empty
+    retiredDirs.foreach(SeenState.deleteDir)
+    retiredDirs = Vector.empty
   }
 
   /** candidates MINUS seen, exact: one candidate-side exchange into the
@@ -292,43 +388,118 @@ final class SeenState(
     pieces.foldLeft(cands)((acc, p) => acc.join(p, Seq("url_hash"), "left_anti"))
   }
 
-  /** Cuckoo unsee for the retry path: delete the retried hashes from the
-    * bucket filters, then re-insert (they stay in the exact seen set —
-    * see class doc). No-op in bloom mode (bloom cannot delete; the
-    * retried URL simply stays in the filter, which is also correct). */
-  def unseeReinsert(retryHashes: DataFrame): Unit = if (useCuckoo) {
+  /** The wave dedup in one plan, scale-shaped: candidates exchange ONCE
+    * into the bucket partitioning (O(wave) bytes — the only shuffle),
+    * the layered prefilter probes POST-exchange (task p loads only bucket
+    * p's image: O(seen/B) resident), filter-negatives skip the join chain
+    * entirely, filter-positives get exact confirmation against the
+    * pre-partitioned pieces with zero seen-side exchange. Returns
+    * fresh ∪ confirmed (the truly-new candidates). */
+  def freshAndConfirmed(cands: DataFrame): DataFrame = {
     awaitFold()
-    buildFilters(retryHashes).foreach { case (b, bytes, _) =>
-      val delta = CuckooFilterImpl.deserialize(bytes)
-      cuckoos(b).deleteInPlace(delta)
-      cuckoos(b).mergeInPlace(delta)
-    }
+    if (pieces.isEmpty) return cands
+    if (baseBc == null) materializeBankIfAny()
+    val parts = cands.repartition(B, col("url_hash"))
+    val might = UrlExpressions.might_contain_any(col("url_hash"), baseBc +: deltaBcs)
+    val fresh = parts.filter(!might)
+    val confirmed = pieces.foldLeft(parts.filter(might))(
+      (acc, p) => acc.join(p, Seq("url_hash"), "left_anti"))
+    fresh.unionByName(confirmed)
   }
 
-  /** Driver-side snapshot of the filter bank for durable persistence:
-    * (bucket, image, exactCount) per bucket, plus the bank capacity.
-    * The caller tags the write with the seen table's version so a later
-    * [[bootstrapFromImages]] only ever uses a bank that provably covers
-    * the committed seen set (filter completeness is load-bearing: a
-    * filter-negative skips the exact anti-join). */
+  /** Cuckoo unsee for the retry path: delete the retried hashes from the
+    * affected bucket images, then re-insert (they stay in the exact seen
+    * set — see class doc). The rewrite happens on COPIES loaded from the
+    * bank files and lands as an overlay dir — no filter reachable from a
+    * live broadcast is ever mutated. No-op in bloom mode (bloom cannot
+    * delete; the retried URL simply stays in the filter, also correct). */
+  def unseeReinsert(retryHashes: DataFrame): Unit = if (useCuckoo) {
+    awaitFold()
+    if (baseBc == null) materializeBankIfAny()
+    // the retried hashes travel RAW, grouped by bucket (O(wave) longs) —
+    // a delta filter image can't apply: delete needs the bank's own
+    // geometry, and building at bank capacity would be the O(capacity)
+    // collect this design removed
+    val byBucket = retryHashes.select(col("url_hash"), bucketCol.as("__b"))
+      .groupBy(col("__b")).agg(collect_list(col("url_hash")).as("hs"))
+      .as[(Int, Seq[Long])].collect()
+    if (byBucket.isEmpty) return
+    val overlay = nextBankDir()
+    Files.createDirectories(Paths.get(overlay))
+    val dirs = bankDirs
+    val cap = perBucketCap
+    spark.createDataset(byBucket.toSeq)
+      .map { case (b, hs) =>
+        val cur = LongMembership.loadBucketBytes(dirs, b)
+        val bank =
+          if (cur == null) CuckooFilterImpl.create(cap)
+          else CuckooFilterImpl.deserialize(cur)
+        hs.foreach(bank.delete)
+        hs.foreach(bank.insert)
+        SeenState.writeBucketFile(overlay, b, bank.serialize())
+        b
+      }
+      .collect()
+    // overlay wins for the rewritten buckets; older dirs stay referenced
+    swapBase(overlay +: bankDirs, foldDeltas = false)
+  }
+
+  /** Driver-side snapshot of the merged filter bank (pending deltas are
+    * folded first): (bucket, image, exactCount) per bucket + capacity.
+    * O(seen-capacity) driver bytes — a test/tool face; the production
+    * persistence path is the distributed [[bankDf]]. */
   def exportImages(): (Array[(Int, Array[Byte], Long)], Long) = {
     awaitFold()
+    if (deltaBcs.nonEmpty) rebase()
+    if (baseBc == null) materializeBankIfAny()
     val imgs = (0 until B).map { b =>
-      val bytes =
-        if (useCuckoo) cuckoos(b).serialize()
-        else {
-          val o = new java.io.ByteArrayOutputStream()
-          blooms(b).writeTo(o)
-          o.toByteArray
-        }
+      val bytes = Option(LongMembership.loadBucketBytes(bankDirs, b))
+        .getOrElse(emptyImage())
       (b, bytes, bucketCounts(b))
     }.toArray
     (imgs, perBucketCap)
   }
 
-  /** Resume fast path: a version-matched saved bank replaces both the
-    * per-bucket count job AND the filter-build job of [[bootstrap]] —
-    * restart cost drops to the single piece-prep pass. */
+  private def emptyImage(): Array[Byte] =
+    if (useCuckoo) CuckooFilterImpl.create(perBucketCap).serialize()
+    else {
+      val o = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(perBucketCap, fpp).writeTo(o)
+      o.toByteArray
+    }
+
+  /** Distributed (bucket, image, n) frame over the merged bank — B rows
+    * built by tasks reading the bank files from shared storage; no
+    * O(seen) bytes ever land on the driver (the durable-bank write path:
+    * CrawlJob.persistFilterBank). Pending deltas fold first. */
+  def bankDf(): DataFrame = {
+    awaitFold()
+    if (deltaBcs.nonEmpty) rebase()
+    if (baseBc == null) materializeBankIfAny()
+    val dirs = bankDirs
+    val counts = bucketCounts.clone()
+    val cuckoo = useCuckoo
+    val cap = perBucketCap
+    val fppLocal = fpp
+    spark.createDataset(0 until B)
+      .repartition(math.min(B, spark.sparkContext.defaultParallelism))
+      .map { b =>
+        val bytes = Option(LongMembership.loadBucketBytes(dirs, b)).getOrElse {
+          if (cuckoo) CuckooFilterImpl.create(cap).serialize()
+          else {
+            val o = new java.io.ByteArrayOutputStream()
+            BloomFilter.create(cap, fppLocal).writeTo(o)
+            o.toByteArray
+          }
+        }
+        (b, bytes, counts(b))
+      }
+      .toDF("bucket", "image", "n")
+  }
+
+  /** Resume fast path from driver-held images (test face; the production
+    * resume is [[bootstrapFromBank]]): replaces both the per-bucket count
+    * job AND the distributed filter build of [[bootstrap]]. */
   def bootstrapFromImages(seenDf: DataFrame,
       images: Array[(Int, Array[Byte], Long)], cap: Long): Unit = {
     awaitFold()
@@ -338,17 +509,42 @@ final class SeenState(
     java.util.Arrays.fill(bucketCounts, 0L)
     images.foreach { case (b, _, n) => bucketCounts(b) = n }
     perBucketCap = cap
-    allocEmptyFilters()
-    mergeFilters(images)
-    rebase()
+    val dir = nextBankDir()
+    images.foreach { case (b, bytes, _) => SeenState.writeBucketFile(dir, b, bytes) }
+    swapBase(Vector(dir), foldDeltas = true)
+  }
+
+  /** Resume fast path, fully distributed: `bank` is a (bucket, image, n)
+    * frame (the persisted IceLite filters table) — tasks copy the images
+    * into a fresh bank dir; the driver sees only the (bucket, n) stats.
+    * Restart cost drops to the single piece-prep pass + an O(bank) copy
+    * that never troubles the driver. */
+  def bootstrapFromBank(seenDf: DataFrame, bank: DataFrame, cap: Long): Unit = {
+    awaitFold()
+    pieces.foreach(GraftShim.freeCheckpoint)
+    pieces = Vector(prep(seenDf))
+    val dir = nextBankDir()
+    Files.createDirectories(Paths.get(dir))
+    val stats = bank.select(col("bucket").cast("int"), col("image"), col("n").cast("long"))
+      .as[(Int, Array[Byte], Long)]
+      .map { case (b, img, n) =>
+        SeenState.writeBucketFile(dir, b, img)
+        (b, n)
+      }
+      .collect()
+    require(stats.length == B && stats.map(_._1).toSet == (0 until B).toSet,
+      s"bank rows cover ${stats.length} buckets, want $B")
+    java.util.Arrays.fill(bucketCounts, 0L)
+    stats.foreach { case (b, n) => bucketCounts(b) = n }
+    perBucketCap = cap
+    swapBase(Vector(dir), foldDeltas = true)
   }
 
   private def resize(): Unit = {
     perBucketCap = math.max(perBucketCap * 2, bucketCounts.max * 2)
     nResizes += 1
-    allocEmptyFilters()
-    mergeFilters(buildFilters(allPieces))
-    rebase() // the rebuilt bank covers every piece — deltas fold in
+    materializeBank() // the rebuilt bank covers every piece — deltas fold in
+    ()
   }
 
   private def compact(): Unit = {
@@ -358,9 +554,9 @@ final class SeenState(
     nCompactions += 1
   }
 
-  /** Release every persisted piece RDD and broadcast (end of run /
-    * bench rep) — leaked pieces or filter broadcasts degrade later reps
-    * and long sessions. */
+  /** Release every persisted piece RDD, broadcast, and bank dir (end of
+    * run / bench rep) — leaked pieces, broadcasts, or bank files degrade
+    * later reps and long sessions. */
   def close(): Unit = {
     scala.util.Try(awaitFold())
     pieces.foreach(GraftShim.freeCheckpoint)
@@ -369,6 +565,9 @@ final class SeenState(
     (Option(baseBc).toVector ++ deltaBcs).foreach(b => scala.util.Try(b.destroy()))
     baseBc = null
     deltaBcs = Vector.empty
+    deltaFaces = Vector.empty
+    SeenState.deleteDir(instRoot)
+    bankDirs = Vector.empty
   }
 
   // introspection (tests + trace)
@@ -379,4 +578,33 @@ final class SeenState(
   def compactions: Int = nCompactions
   def rebases: Int = nRebases
   def deltaLayers: Int = deltaBcs.size
+  /** Filter-image bytes the LAST addWave collected to the driver — the
+    * O(wave) contract's witness (a merge-sized build would be ∝ capacity). */
+  def lastWaveCollectedFilterBytes: Long = lastCollected
+  def totalCollectedFilterBytes: Long = totalCollected
+  def currentBankDirs: Seq[String] = bankDirs
+  /** Test face: the BASE probe broadcast's payload (must stay O(B) paths —
+    * a full filter-bank broadcast here is the 12 GB/executor regression). */
+  private[graft] def baseFace: LongMembership = baseBc.value
+}
+
+object SeenState {
+  /** Atomic per-bucket image write (temp + rename; task-retry-safe:
+    * last-writer-wins on identical content). */
+  private[plans] def writeBucketFile(dir: String, b: Int, bytes: Array[Byte]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".bucket_$b.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, d.resolve(s"bucket_$b.bin"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[plans] def deleteDir(dir: String): Unit = scala.util.Try {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    }
+  }
 }

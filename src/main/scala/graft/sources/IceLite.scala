@@ -2,6 +2,8 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -32,6 +34,13 @@ object IceLite {
       dataDirs: Seq[String], // relative to table root, full file list of this snapshot
       counters: Map[String, Long],
       rows: Long)
+
+  /** Per-FILE manifest entry (SURVEY §7.4): exact row count + url_hash
+    * min/max, read off the parquet FOOTERS at commit time (metadata-only
+    * — no data scan). One `_manifest.json` per immutable data dir; the
+    * underscore keeps Spark's file listing from treating it as data. */
+  final case class FileStat(
+      file: String, rows: Long, hasHash: Boolean, minHash: Long, maxHash: Long)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -90,9 +99,118 @@ object IceLite {
         s"$root-$v".getBytes).toString.take(8)
       val rel = s"data/s$v-$nonce"
       df.write.mode("overwrite").parquet(s"$root/$rel")
-      // rows=-1: not tracked (an exact count would cost a full re-scan job
-      // per commit; the snapshot counters carry the semantic numbers)
+      writeManifest(rel)
+      // rows=-1: not tracked at snapshot level (the per-file manifest
+      // carries exact counts; the snapshot counters carry the semantics)
       (rel, -1L)
+    }
+
+    /** Footer-only stats pass over a freshly written (still uncommitted,
+      * hence crash-safe) data dir: row counts + url_hash min/max per
+      * file. Cost is one footer read per file — no data pages touched. */
+    private def writeManifest(dirRel: String): Unit = {
+      val dirAbs = Paths.get(root, dirRel)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val stats = Files.list(dirAbs).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map { f =>
+          val rd = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+          try {
+            val blocks = rd.getFooter.getBlocks.asScala.toSeq
+            val rows = blocks.map(_.getRowCount).sum
+            var has = false
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            blocks.foreach { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == "url_hash")
+                .foreach { c =>
+                  c.getStatistics match {
+                    case ls: org.apache.parquet.column.statistics.LongStatistics
+                        if ls.hasNonNullValue =>
+                      has = true
+                      mn = math.min(mn, ls.genericGetMin)
+                      mx = math.max(mx, ls.genericGetMax)
+                    case _ => ()
+                  }
+                }
+            }
+            FileStat(f.getFileName.toString, rows, has,
+              if (has) mn else 0L, if (has) mx else 0L)
+          } finally rd.close()
+        }
+      Files.write(dirAbs.resolve("_manifest.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(stats.toArray))
+    }
+
+    /** The per-file manifest of one data dir (empty if written by an
+      * older layout without manifests). */
+    def manifest(dirRel: String): Seq[FileStat] = {
+      val f = Paths.get(root, dirRel, "_manifest.json")
+      if (!Files.exists(f)) Seq.empty
+      else mapper.readValue(Files.readAllBytes(f), classOf[Array[FileStat]]).toSeq
+    }
+
+    /** All (dataDir, fileStat) pairs of the current snapshot. */
+    def currentStats: Seq[(String, FileStat)] =
+      currentSnapshot.map(_.dataDirs).getOrElse(Nil)
+        .flatMap(d => manifest(d).map(d -> _))
+
+    /** Manifest-pruned point read: only the files whose url_hash
+      * [min,max] range can contain `h` are scanned (files without stats
+      * are conservatively included). The file-level analog of Iceberg's
+      * stats pruning — at 10^10 rows a seen-set point lookup touches a
+      * handful of sorted-run files instead of the whole table. */
+    def prunedByHash(h: Long): DataFrame = {
+      val snap = currentSnapshot
+      val dirs = snap.map(_.dataDirs).getOrElse(Nil)
+      val files = dirs.flatMap { d =>
+        val m = manifest(d)
+        if (m.isEmpty) Seq(s"$root/$d") // no stats: scan the dir
+        else m.filter(s => !s.hasHash || (h >= s.minHash && h <= s.maxHash))
+          .map(s => s"$root/$d/${s.file}")
+      }
+      if (files.isEmpty)
+        throw new IllegalStateException(s"no candidate files for hash $h in $root")
+      spark.read.parquet(files: _*)
+    }
+
+    /** Bound the snapshot log: drop snapshot metadata older than the last
+      * `keepLast` versions and delete data dirs no RETAINED snapshot
+      * references. The commit-marker chain resume depends on lives in the
+      * newest versions, so exact kill/resume is preserved for any
+      * keepLast >= 2; time travel beyond the horizon is traded for
+      * bounded storage (a long crawl otherwise accumulates every wave's
+      * frontier forever). */
+    def expire(keepLast: Int): Unit = {
+      if (keepLast <= 0) return // retention disabled
+      val cur = currentVersion
+      if (cur < 0) return
+      val keepMin = cur - math.max(2, keepLast) + 1
+      val versions = listVersions()
+      val drop = versions.filter(_ < keepMin)
+      if (drop.isEmpty) return
+      val referenced = versions.filter(_ >= keepMin).flatMap(snapshot)
+        .flatMap(_.dataDirs).toSet
+      val dropDirs = drop.flatMap(snapshot).flatMap(_.dataDirs).toSet -- referenced
+      dropDirs.foreach { d =>
+        val p = Paths.get(root, d)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+      }
+      drop.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
+    }
+
+    private def listVersions(): Seq[Int] = {
+      if (!Files.exists(metaDir)) return Nil
+      Files.list(metaDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+        .toSeq.sorted
     }
 
     private def commit(snap: Snapshot): Unit = {

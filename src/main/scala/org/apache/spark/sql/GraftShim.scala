@@ -33,6 +33,15 @@ object GraftShim {
     val qe = ds.queryExecution
     val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // REAL lineage truncation, not just caching: after the eager count the
+    // RDD's dependency graph is replaced by the checkpoint blocks. Without
+    // it every later stage that scans this piece serializes the piece's
+    // WHOLE upstream plan (wave expressions, probe broadcast handles,
+    // cached-relation trees) into each task binary — megabytes per task
+    // ("Broadcasting large task binary" warnings) that grow with every
+    // retained piece, and retired-broadcast handles kept reachable
+    // indefinitely.
+    rdd.localCheckpoint()
     rdd.count() // eager: compute while upstream caches are still alive
     val output: Seq[Attribute] = qe.analyzed.output
     val attr = output.find(_.name == colName).getOrElse(

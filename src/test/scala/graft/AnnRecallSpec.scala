@@ -73,8 +73,54 @@ class AnnRecallSpec extends AnyFunSuite {
     }
     val recall = recalls.sum / recalls.size
     println(f"[recall] a4_ivf_recall_at_3 sf0.01 = $recall%.3f " +
-      s"(k=${AnnOps.NCentroids} trained cells, nprobe=${AnnOps.NProbeCells})")
+      s"(k=${AnnOps.nCentroidsFor(500)} trained cells, " +
+      s"nprobe=${AnnOps.nProbeFor(AnnOps.nCentroidsFor(500))})")
     assert(recall >= 0.3, f"a4 recall regressed: $recall%.3f")
+  }
+
+  test("a4 cell/probe ladders scale with the corpus (integer-exact)") {
+    // fixed 8 cells made every cell 12.5% of ANY corpus; the ladder keeps
+    // cells ~TargetCellSize and the probed fraction ~sqrt(c)/c
+    assert(AnnOps.nCentroidsFor(500) == 8)      // sf-test operating point
+    assert(AnnOps.nCentroidsFor(32768) == 8)
+    assert(AnnOps.nCentroidsFor(36000) == 9)
+    assert(AnnOps.nCentroidsFor(1000000) == 245)
+    assert(AnnOps.nCentroidsFor(1000000000L) == 4096) // capped
+    assert(AnnOps.nProbeFor(8) == 2)            // round-2 operating point
+    assert(AnnOps.nProbeFor(9) == 3)
+    assert(AnnOps.nProbeFor(245) == 15)
+    assert(AnnOps.nProbeFor(4096) == 64)        // 1.6% of cells probed
+  }
+
+  test("a4 scaled cells on a 36k corpus: literal and join assignment agree; recall holds") {
+    import spark.implicits._
+    // 36k vectors → 9 trained cells (past the 8-cell floor), nprobe 3.
+    // Clustered like a real embedding corpus (see the clustered a3 test).
+    val rng = new java.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(48)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = (0 until 36000).map { i =>
+      val c = centers(i % 48)
+      (i.toLong, c.map(x => x + 0.15f * rng.nextGaussian().toFloat).toSeq, i % 48)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-scaled").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val lit = AnnOps.ivfTopKImpl(spark, dir, forceJoin = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val join = AnnOps.ivfTopKImpl(spark, dir, forceJoin = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(lit == join, "literal-centroid and broadcast-join assignment paths diverge")
+    val gt = topSets(AnnOps.bruteForceTopK(spark, dir), AnnOps.IvfK)
+    val ivf = lit.filter(_._4 <= AnnOps.IvfK).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = gt.map { case (q, want) =>
+      want.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    println(f"[recall] a4_ivf_recall_at_3 scaled(36k,9 cells,nprobe 3) = $recall%.3f")
+    assert(recall >= 0.5, f"scaled a4 recall below target: $recall%.3f")
   }
 
   test("d5 near-dup pair recall vs brute-force threshold pairs") {

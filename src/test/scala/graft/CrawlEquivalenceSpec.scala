@@ -176,6 +176,96 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEquivalent(o, root, m)
   }
 
+  /** Textify prefix rules into raw robots.txt bodies — the (host, body)
+    * shape a real robots corpus has (what `--robots-txt` consumes). */
+  private def robotsBodies(rules: Seq[RobotsRule]): Seq[(String, String)] =
+    rules.groupBy(_.host).toSeq.map { case (h, rs) =>
+      val lines = Seq("User-agent: *") ++
+        rs.map(r => s"${if (r.allow) "Allow" else "Disallow"}: ${r.path_prefix}") ++
+        Seq(s"Crawl-delay: ${rs.map(_.crawl_delay).max}")
+      h -> lines.mkString("\n")
+    }
+
+  test("raw robots.txt bodies drive the wave loop (compiled path) — oracle-exact") {
+    import spark.implicits._
+    val cfg = Corpus.Config(nHosts = 6, pagesPerHost = 8, linksPerPage = 6, seed = 13L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/0", "http://site1.example.org/p/0")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 2))
+    assert(o.metrics.map(_.robots_blocked).sum > 0)
+    val bodiesDf = robotsBodies(rules).toDF("host", "body")
+    val root = tmpDir("txtbodies")
+    val m = CrawlJob.runWithPolicy(spark, corpusDf(corpus),
+      graft.operators.RobotsTxt.policyFromTxt(bodiesDf, "graftbot"),
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 2, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(o, root, m)
+  }
+
+  test("10^4 robots.txt bodies: the packed JoinedTxt path replays the oracle") {
+    import spark.implicits._
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4, seed = 21L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg) ++ (0 until 10000).map { i =>
+      graft.model.RobotsRule(s"pad$i.example.net", "/blocked", allow = false,
+        crawl_delay = 1 + i % 5)
+    }
+    val seeds = Seq("http://hot.example.com/p/0")
+    val o = CrawlOracle.run(corpus, rules, CrawlOracle.CrawlConfig(seeds, hostBudget = 3))
+    val bodiesDf = robotsBodies(rules).toDF("host", "body").repartition(8)
+    val policy = graft.operators.RobotsTxt.policyFromTxt(bodiesDf, "graftbot")
+    assert(policy.isInstanceOf[graft.operators.RobotsTxt.JoinedTxt],
+      "10^4 hosts must take the broadcast packed-join path")
+    val root = tmpDir("txtbig")
+    val m = CrawlJob.runWithPolicy(spark, corpusDf(corpus), policy,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(o, root, m)
+  }
+
+  test("virtual-clock politeness: ts_next carryover replays the oracle exactly") {
+    val cfg = Corpus.Config(nHosts = 6, pagesPerHost = 8, linksPerPage = 6, seed = 13L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg) // hot host crawl_delay=2, others 1
+    val seeds = Seq("http://hot.example.com/p/0", "http://site1.example.org/p/0")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3,
+        virtualClock = true))
+    // the carryover must actually bite: some wave's budget differs from the
+    // constant-budget model (hot host: T=3, d=2 → budgets 2,1,2,1,… vs
+    // constant max(1, 3/2) = 1 every wave)
+    val oPlain = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3))
+    assert(o.visits.map(_.url) != oPlain.visits.map(_.url),
+      "fixture does not distinguish the clocked schedule from the constant budget")
+    val root = tmpDir("vclock")
+    val m = CrawlJob.run(spark, corpusDf(corpus), rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+        virtualClock = true), root)
+    assertEquivalent(o, root, m)
+  }
+
+  test("virtual clock survives kill/resume (host_clock table round trip)") {
+    val cfg = Corpus.Config(nHosts = 6, pagesPerHost = 8, linksPerPage = 6, seed = 13L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/0")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3,
+        virtualClock = true))
+    val df = corpusDf(corpus)
+    val root = tmpDir("vclock-resume")
+    def cfgJob(waves: Int) = CrawlJob.Config(seeds, onDomain = false, hostBudget = 3,
+      maxWaves = waves, numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+      virtualClock = true)
+    val m1 = CrawlJob.run(spark, df, rules, cfgJob(2), root)
+    val m2 = CrawlJob.run(spark, df, rules, cfgJob(64), root)
+    assertEquivalent(o, root, m1 ++ m2)
+  }
+
   test("graceful stop finishes the wave, commits, and resumes bit-exact") {
     val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
     val corpus = Corpus.generate(cfg)

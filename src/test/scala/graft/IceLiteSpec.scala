@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.IceLite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Gates for the table-format layer the crawl state rides on: per-file
+  * manifests (exact rows + url_hash min/max off parquet footers),
+  * manifest-pruned point reads, and snapshot expiry keeping a long
+  * crawl's storage bounded without breaking the resume marker chain. */
+class IceLiteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(tag: String): IceLite.Table =
+    IceLite.table(Files.createTempDirectory(s"icelite-$tag").toString, spark)
+
+  private def hashDf(from: Long, until: Long) =
+    spark.range(from, until).select(xxhash64(col("id")).as("url_hash"), col("id"))
+
+  test("per-file manifests carry exact row counts and url_hash min/max") {
+    val t = freshTable("manifest")
+    t.append(hashDf(0, 1000).repartition(4))
+    val stats = t.currentStats
+    assert(stats.nonEmpty)
+    assert(stats.map(_._2.rows).sum == 1000L, s"manifest rows ${stats.map(_._2.rows).sum}")
+    assert(stats.forall(_._2.hasHash))
+    val truth = hashDf(0, 1000).agg(min("url_hash"), max("url_hash")).head()
+    assert(stats.map(_._2.minHash).min == truth.getLong(0))
+    assert(stats.map(_._2.maxHash).max == truth.getLong(1))
+  }
+
+  test("manifest-pruned point read scans a file subset and finds the row") {
+    val t = freshTable("prune")
+    // sorted-by-hash layout → tight per-file ranges → real pruning
+    t.append(hashDf(0, 20000).repartitionByRange(8, col("url_hash"))
+      .sortWithinPartitions("url_hash"))
+    val target = hashDf(500, 501).head.getLong(0)
+    val pruned = t.prunedByHash(target)
+    val prunedFiles = pruned.inputFiles.length
+    val allFiles = t.read().inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"pruning read $prunedFiles of $allFiles files — no file skipped")
+    assert(pruned.filter(col("url_hash") === target).count() == 1L)
+  }
+
+  test("expire bounds metadata and data dirs; current snapshot stays readable") {
+    val t = freshTable("expire")
+    (0 until 12).foreach(i => t.replace(hashDf(i * 10L, i * 10L + 10)))
+    val root = Paths.get(t.root)
+    def metaCount = Files.list(root.resolve("metadata")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".json"))
+    def dataCount =
+      if (!Files.exists(root.resolve("data"))) 0
+      else Files.list(root.resolve("data")).iterator().asScala.size
+    assert(metaCount == 12 && dataCount == 12)
+    t.expire(keepLast = 3)
+    assert(metaCount == 3, s"kept $metaCount snapshot jsons")
+    assert(dataCount == 3, s"kept $dataCount data dirs")
+    assert(t.read().count() == 10L) // current replace content intact
+    // appends keep every referenced dir alive even past the horizon
+    val a = freshTable("expire-append")
+    (0 until 10).foreach(i => a.append(hashDf(i * 5L, i * 5L + 5)))
+    a.expire(keepLast = 2)
+    assert(a.read().count() == 50L, "append-mode data must survive expiry")
+    // and the marker-chain ops the resume path uses still work
+    a.append(hashDf(100, 105), Map("wave" -> 9L))
+    a.trimWhile(s => s.counters.get("wave").exists(_ >= 9L))
+    assert(a.read().count() == 50L)
+  }
+
+  test("long crawl with retention: file count stays bounded, resume stays exact") {
+    import graft.synth.Corpus
+    import graft.plans.CrawlJob
+    val cfg0 = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
+    val corpus = Corpus.generate(cfg0)
+    val rules = Corpus.robotsRules(cfg0)
+    val seeds = Seq("http://hot.example.com/p/2")
+    val o = graft.oracle.CrawlOracle.run(corpus, rules,
+      graft.oracle.CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3))
+    import spark.implicits._
+    val df = spark.createDataset(corpus).toDF()
+    val root = Files.createTempDirectory("graft-expire-crawl").toString
+    def jobCfg(waves: Int) = CrawlJob.Config(seeds, onDomain = false, hostBudget = 3,
+      maxWaves = waves, numPartitions = 4, saltBuckets = 4, bloomItems = 100000L,
+      snapshotKeep = 3)
+    val m1 = CrawlJob.run(spark, df, rules, jobCfg(2), root)
+    val m2 = CrawlJob.run(spark, df, rules, jobCfg(64), root) // resume past expiry
+    // equivalence on the bits the oracle defines
+    val vGot = CrawlJob.visitOrder(spark, root, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(vGot == o.visits.map(v => (v.rank, v.wave, v.url)))
+    val sGot = CrawlJob.seenSet(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sGot == o.seen.map(s => (s.url_hash, s.url)).toSet)
+    assert((m1 ++ m2) == o.metrics)
+    // frontier metadata bounded at the horizon despite ~10+ waves
+    val metaFiles = Files.list(Paths.get(root, "frontier", "metadata"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".json"))
+    assert(metaFiles <= 4, s"frontier snapshot log not bounded: $metaFiles")
+  }
+}

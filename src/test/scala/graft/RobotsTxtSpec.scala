@@ -146,6 +146,34 @@ class RobotsTxtSpec extends AnyFunSuite {
 
   // ---- distributed parse expression == driver parse -----------------------
 
+  test("JoinedTxt (packed broadcast join) decides identically to CompiledTxt incl. wildcards") {
+    import spark.implicits._
+    val bodies = Seq(
+      ("h1.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/1$\nDisallow: /*/secret\nAllow: /open*.html$\nCrawl-delay: 3"),
+      ("h2.com", "User-agent: *\nDisallow: /\nAllow: /pub\nCrawl-delay: 1"),
+      ("h3.com", "# empty"),
+      ("h4.com", "User-agent: graftbot\nDisallow: /g\n\nUser-agent: *\nDisallow: /x"))
+    val bodiesDf = bodies.toDF("host", "body")
+    val compiled = RobotsTxt.policyFromTxt(bodiesDf, "graftbot", maxCompileHosts = 64)
+    val joined = RobotsTxt.policyFromTxt(bodiesDf, "graftbot", maxCompileHosts = 1)
+    assert(compiled.isInstanceOf[RobotsTxt.CompiledTxt])
+    assert(joined.isInstanceOf[RobotsTxt.JoinedTxt])
+    val paths = Seq("/p/1", "/p/10", "/d/secret/x", "/open-a.html", "/open-a.html?x",
+      "/", "/pub/x", "/x/y", "/g/z", "/anything")
+    val rows = for { h <- bodies.map(_._1) :+ "unruled.com"; p <- paths } yield (h, p)
+    val df = rows.toDF("host", "path")
+    def decisions(p: graft.operators.Robots.RobotsPolicy) =
+      p.withAllowed(df, col("path"), "ok").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(decisions(compiled) == decisions(joined))
+    def budgets(p: graft.operators.Robots.RobotsPolicy) =
+      p.withBudget(df.select("host").distinct(), 12, "b").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bc = budgets(compiled); val bj = budgets(joined)
+    assert(bc == bj, s"budget mismatch: $bc vs $bj")
+    assert(bc("h1.com") == 4 && bc("unruled.com") == 12)
+  }
+
   test("parse_robots_txt expression parses where the data lives, identically") {
     import spark.implicits._
     val bodies = Seq(

@@ -129,7 +129,7 @@ class SeenStateSpec extends AnyFunSuite {
     assert(all.forall(pf.mightContain), "false negative after unsee round-trip")
   }
 
-  test("bucketed probe routes negative hashes correctly (pmod semantics)") {
+  test("bucketed probe routes negative hashes correctly (partition-aligned buckets)") {
     val s = new SeenState(spark, buckets = 8, useCuckoo = false,
       expectedItems = 10000L, fpp = 0.01, compactAt = 8)
     // xxhash64 produces negative longs ~half the time; bootstrap + probe
@@ -139,5 +139,102 @@ class SeenStateSpec extends AnyFunSuite {
     val negs = hashes(0, 4000).collect().map(_.getLong(0)).filter(_ < 0)
     assert(negs.nonEmpty)
     assert(negs.forall(pf.mightContain), "false negative on negative hash")
+    s.close()
+  }
+
+  test("bucketOf IS the repartition(B, url_hash) partition id (co-location contract)") {
+    // the whole post-exchange O(seen/B) residency argument hangs on this:
+    // the bank bucket function must equal HashPartitioning's partition id
+    for (b <- Seq(4, 8, 32)) {
+      val rows = hashes(0, 5000).repartition(b, col("url_hash"))
+        .select(col("url_hash"), spark_partition_id().as("pid"))
+        .collect()
+      rows.foreach { r =>
+        val h = r.getLong(0)
+        assert(graft.functions.LongMembership.bucketOf(h, b) == r.getInt(1),
+          s"bucketOf($h, $b) != partition id ${r.getInt(1)}")
+      }
+    }
+  }
+
+  test("per-wave filter maintenance is O(wave): delta-only builds, bank untouched") {
+    val s = new SeenState(spark, buckets = 4, useCuckoo = false,
+      expectedItems = 800000L, fpp = 0.01, compactAt = 100)
+    s.bootstrap(hashes(0, 200000)) // bank capacity 200k/bucket
+    val bankBytes = (0 until 4).map { b =>
+      graft.functions.LongMembership.loadBucketBytes(s.currentBankDirs, b).length.toLong
+    }.sum
+    s.addWave(hashes(200000, 201000), knownCount = 1000L) // 1k-row wave
+    val waveBytes = s.lastWaveCollectedFilterBytes
+    assert(waveBytes > 0L)
+    assert(waveBytes * 10 < bankBytes,
+      s"wave collected $waveBytes bytes vs bank $bankBytes — not delta-sized")
+    // proportionality: a 10x wave collects ~10x, never bank-sized
+    s.addWave(hashes(201000, 211000), knownCount = 10000L)
+    val waveBytes10 = s.lastWaveCollectedFilterBytes
+    assert(waveBytes10 < bankBytes / 4,
+      s"10x wave collected $waveBytes10 vs bank $bankBytes")
+    // no false negatives across the delta layers
+    val pos = hashes(199000, 211000).select(s.probe(col("url_hash")).as("m")).collect()
+    assert(pos.forall(_.getBoolean(0)), "false negative across bank+delta layers")
+    s.close()
+  }
+
+  test("base probe broadcast carries paths, not filter images (no O(seen) broadcast)") {
+    val s = new SeenState(spark, buckets = 4, useCuckoo = false,
+      expectedItems = 400000L, fpp = 0.01, compactAt = 100)
+    s.bootstrap(hashes(0, 100000))
+    s.baseFace match {
+      case fb: graft.functions.LongMembership.FileBank =>
+        assert(fb.buckets == 4 && fb.dirs.nonEmpty)
+      case other => fail(s"base broadcast is ${other.getClass.getSimpleName}, want FileBank")
+    }
+    s.close()
+  }
+
+  test("cuckoo delta layers are never lossy under bucket skew (saturation rebuild)") {
+    val s = new SeenState(spark, buckets = 4, useCuckoo = true,
+      expectedItems = 400000L, fpp = 0.01, compactAt = 100)
+    s.bootstrap(hashes(0, 1000))
+    // a wave whose knownCount-based sizing guess (2*n/B) would overflow if
+    // every row landed in few buckets: lie about the count to force the
+    // per-bucket guess far below the real cardinality
+    s.addWave(hashes(1000, 9000), knownCount = 100L) // guess 1024/bucket, real ~2000
+    val all = hashes(0, 9000).select(s.probe(col("url_hash")).as("m")).collect()
+    assert(all.forall(_.getBoolean(0)),
+      "false negative — a lossy cuckoo delta layer was pushed")
+    s.close()
+  }
+
+  test("freshAndConfirmed equals exact set-minus and reuses one exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = new SeenState(spark, buckets = 4, useCuckoo = false,
+        expectedItems = 40000L, fpp = 0.01, compactAt = 8)
+      s.bootstrap(hashes(0, 3000))
+      s.addWave(hashes(3000, 4000))
+      val out = s.freshAndConfirmed(hashes(2000, 6000))
+      val got = out.collect().map(_.getLong(0)).toSet
+      val byId = spark.range(0, 6000).select(col("id"), xxhash64(col("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == (4000L until 6000L).map(byId).toSet)
+      // ONE candidate exchange feeds both the fresh filter and the join
+      // chain (exchange reuse) — the seen side exchanges zero rows
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+        .size
+      assert(exchanges == 1,
+        s"expected 1 candidate exchange on the dedup path, got $exchanges:\n${plan.take(4000)}")
+      assert(plan.contains("ReusedExchange"),
+        s"fresh/maybe branches must share the candidate exchange:\n${plan.take(4000)}")
+      // the probe must sit ABOVE the exchange (post-exchange = one bucket
+      // per task) and must NOT be inferred onto the seen-piece side
+      assert(!plan.linesIterator.exists(l =>
+          l.contains("mightcontainlong") && l.contains("Scan ExistingRDD")),
+        s"probe leaked onto the seen pieces:\n${plan.take(4000)}")
+      s.close()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -98,6 +98,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.frontier.snapshots.count(_.counters.contains("intake_batch")) == 2)
   }
 
+  test("admitSeedBatch is idempotent under at-least-once replay (full and partial)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-intake-idem").toString
+    val t = CrawlJob.tables(root, spark)
+    def entries(urls: (String, Int)*) = urls.toSeq.map { case (u, seq) =>
+      (u, graft.functions.UrlOps.urlHash64(u), "h.com", 0, 0L, seq)
+    }.toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index")
+    val admit = StreamOps.admitSeedBatch(spark, t.frontier, t.seen) _
+    admit(entries("http://h.com/a" -> 0, "http://h.com/b" -> 1), 0L)
+    def frontierUrls = t.frontier.read().select("url").collect().map(_.getString(0)).toSeq
+    def seenUrls = t.seen.read().select("url").collect().map(_.getString(0)).toSeq
+    assert(frontierUrls.sorted == Seq("http://h.com/a", "http://h.com/b"))
+    val v0 = t.frontier.currentVersion
+    // FULL replay: nothing moves
+    admit(entries("http://h.com/a" -> 0, "http://h.com/b" -> 1), 0L)
+    assert(t.frontier.currentVersion == v0 && frontierUrls.size == 2)
+    // PARTIAL replay: batch 1's SEEN append landed, frontier append did not
+    // (the crash window between the two appends) — the replay must re-admit
+    // the seeds to the frontier exactly once, not drop them
+    val b1 = entries("http://h.com/c" -> 2)
+    t.seen.append(b1.select(col("url_hash"), col("url"), lit(0).as("wave")),
+      Map("intake_batch" -> 1L))
+    admit(b1, 1L)
+    assert(frontierUrls.sorted == Seq("http://h.com/a", "http://h.com/b", "http://h.com/c"))
+    assert(seenUrls.count(_ == "http://h.com/c") == 1, "partial replay duplicated seen row")
+    assert(t.seen.snapshots.count(_.counters.get("intake_batch").contains(1L)) == 1)
+  }
+
+  test("seeds injected mid-crawl: the wave loop resumes over them, deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.synth.Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4)
+    val corpus = graft.synth.Corpus.generate(cfg)
+    val rules = graft.synth.Corpus.robotsRules(cfg)
+    val docs = spark.createDataset(corpus).toDF()
+    def runOnce(tag: String): (Seq[(Long, Int, String)], Set[String]) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-midstream-$tag").toString
+      val seedsA = Seq("http://site1.example.org/p/0")
+      def jobCfg(w: Int) = graft.plans.CrawlJob.Config(seedsA, onDomain = false,
+        hostBudget = 3, maxWaves = w, numPartitions = 2, saltBuckets = 2,
+        bloomItems = 100000L)
+      CrawlJob.run(spark, docs, rules, jobCfg(2), root) // phase 1: 2 waves
+      // mid-crawl intake of seed B on another host (one micro-batch)
+      val t = CrawlJob.tables(root, spark)
+      val input = MemoryStream[(String, String, Boolean, String, String, Timestamp, Long)]
+      val df = input.toDF().toDF("index", "url", "on_domain", "engine", "type", "ts", "seq")
+      val q = StreamOps.seedEntries(df).writeStream
+        .foreachBatch(StreamOps.admitSeedBatch(spark, t.frontier, t.seen) _)
+        .start()
+      input.addData(("idx", "http://site3.example.org/p/0", false, "eng",
+        "elasticsearch", Timestamp.valueOf("2024-01-01 00:00:00"), 0L))
+      q.processAllAvailable(); q.stop()
+      CrawlJob.run(spark, docs, rules, jobCfg(64), root) // phase 2: resume
+      val visits = CrawlJob.visitOrder(spark, root, 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+      val seen = CrawlJob.seenSet(spark, root).collect().map(_.getString(1)).toSet
+      (visits, seen)
+    }
+    val (v1, s1) = runOnce("a")
+    assert(v1.exists(_._3 == "http://site3.example.org/p/0"),
+      "streamed seed was never crawled")
+    assert(s1.exists(_.startsWith("http://site3.example.org/p/")), "no expansion from streamed seed")
+    // bit-exact determinism of the whole stream+resume sequence
+    val (v2, s2) = runOnce("b")
+    assert(v1 == v2 && s1 == s2, "stream-intake crawl is not deterministic")
+  }
+
   test("watermarked event windows aggregate a replayed batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
