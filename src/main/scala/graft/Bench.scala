@@ -54,8 +54,7 @@ object Bench {
     val key = s"${cfg.nHosts}-${cfg.pagesPerHost}-${cfg.linksPerPage}-${cfg.seed}"
     val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$key"
     if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
-      import spark.implicits._
-      spark.createDataset(Corpus.generate(cfg)).toDF()
+      Corpus.toDf(spark, cfg)
         .repartition(8).write.mode("overwrite").parquet(dir)
     }
     dir

@@ -93,12 +93,11 @@ object CrawlMain {
       if (docsPath.startsWith("synth:")) {
         val Array(h, p) = docsPath.stripPrefix("synth:").split("x")
         val cfg = Corpus.Config(nHosts = h.toInt, pagesPerHost = p.toInt)
-        import spark.implicits._
-        // repartition off the driver-side LocalTableScan (without it every
-        // job of every wave re-serializes the whole corpus into tasks),
-        // then pin it resident: the synth corpus is driver-generated, so
-        // caching it is what makes it a distributed table at all.
-        val d = spark.createDataset(Corpus.generate(cfg)).toDF()
+        // Corpus.toDf slices the driver-generated Seq so no task binary
+        // exceeds Spark's closure-size recommendation; repartition + pin
+        // it resident — caching is what makes the synth corpus a
+        // distributed table at all.
+        val d = Corpus.toDf(spark, cfg)
           .repartition(partitions).persist()
         d.count()
         (d, Corpus.robotsRules(cfg))

@@ -143,6 +143,19 @@ object Corpus {
     docs.result()
   }
 
+  /** The corpus as a distributed DataFrame. A driver-generated Seq must
+    * NOT ride task binaries through a LocalTableScan (the bench's one
+    * "task of very large size" warning, round 2): slice it so each task
+    * closure stays well under Spark's 1000 KiB recommendation, sized off
+    * the actual span payload (~1.5 KB/doc). */
+  def toDf(spark: org.apache.spark.sql.SparkSession, cfg: Config): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val docs = generate(cfg)
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      (docs.size * 1500L / (256L * 1024)).toInt + 1)
+    spark.sparkContext.parallelize(docs, slices).toDF()
+  }
+
   /** robots rules for the corpus: hot host gets a disallowed subtree and a
     * crawl delay (budget pressure); one host fully disallowed. */
   def robotsRules(cfg: Config): Seq[RobotsRule] = Seq(
