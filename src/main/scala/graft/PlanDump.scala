@@ -59,6 +59,31 @@ object PlanDump {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
 
+    // The production wave-dedup plan (SeenState.freshAndConfirmed): ONE
+    // candidate exchange into the bucket partitioning, THEN the layered
+    // prefilter probe (MightContainLong over the FileBank base + delta
+    // broadcasts) runs post-exchange — task p faults in only bucket p's
+    // image, so executor residency is O(seen/B). Filter-negatives skip
+    // the exact anti-join chain entirely.
+    val probePlan = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val seen = new plans.SeenState(spark, buckets = 4, useCuckoo = false,
+          expectedItems = 10000L, fpp = 0.01, compactAt = 8)
+        seen.bootstrap(spark.range(0, 1000).select(xxhash64(col("id")).as("url_hash"),
+          col("id").cast("string").as("url")))
+        seen.addWave(spark.range(1000, 1200).select(xxhash64(col("id")).as("url_hash")))
+        val out = seen.freshAndConfirmed(
+          spark.range(500, 2000).select(xxhash64(col("id")).as("url_hash")))
+        out.collect()
+        val s = out.queryExecution.explainString(FormattedMode)
+        seen.close()
+        s
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+
     val sections: Seq[(String, String, String)] = Seq(
       ("q1_agg — filter pushdown + column pruning",
         "The shipdate filter reaches the parquet scan (PushedFilters) and " +
@@ -84,6 +109,17 @@ object PlanDump {
           "wave are O(candidates), never O(seen). PlanShapeSpec asserts " +
           "exchanges==1 and sorts==1 on this exact plan.",
         seenPlan),
+      ("wave dedup probe (freshAndConfirmed) — post-exchange O(seen/B) probe",
+        "The layered prefilter (FileBank base + wave-delta broadcasts, " +
+          "`might_contain_any`) filters AFTER the candidate bucket " +
+          "exchange: the Filter sits above the Exchange, so task p faults " +
+          "in only bucket p's bank image — executor residency is " +
+          "O(seen/B), and the base broadcast carries only dir paths, " +
+          "never filter bytes (SeenStateSpec asserts the FileBank " +
+          "payload). Filter-negatives ('provably unseen') bypass the " +
+          "exact anti-join chain; positives confirm against the " +
+          "pre-partitioned pieces with zero seen-side exchange.",
+        probePlan),
       ("d5_embedding_neardup — bucket-blocked self-join",
         "The pair join is an equi-join on the SRP bucket key (SortMergeJoin/" +
           "ShuffledHashJoin on bucket), not a cartesian product.",
