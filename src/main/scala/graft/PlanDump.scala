@@ -43,9 +43,9 @@ object PlanDump {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val seen = new plans.SeenState(spark, buckets = 4, useCuckoo = false,
+        expectedItems = 10000L, fpp = 0.01, compactAt = 8)
       try {
-        val seen = new plans.SeenState(spark, buckets = 4, useCuckoo = false,
-          expectedItems = 10000L, fpp = 0.01, compactAt = 8)
         seen.bootstrap(spark.range(0, 1000).select(xxhash64(col("id")).as("url_hash"),
           col("id").cast("string").as("url")))
         seen.addWave(spark.range(1000, 1200).select(xxhash64(col("id")).as("url_hash")))
@@ -53,10 +53,11 @@ object PlanDump {
         val out = seen.antiJoin(
           spark.range(500, 2000).select(xxhash64(col("id")).as("url_hash")))
         out.collect() // force the final AQE plan
-        val s = out.queryExecution.explainString(FormattedMode)
-        seen.close()
-        s
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        out.queryExecution.explainString(FormattedMode)
+      } finally {
+        seen.close() // ADVICE r3: must run even when collect/explain throws
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
     }
 
     // The production wave-dedup plan (SeenState.freshAndConfirmed): ONE
@@ -69,19 +70,20 @@ object PlanDump {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val seen = new plans.SeenState(spark, buckets = 4, useCuckoo = false,
+        expectedItems = 10000L, fpp = 0.01, compactAt = 8)
       try {
-        val seen = new plans.SeenState(spark, buckets = 4, useCuckoo = false,
-          expectedItems = 10000L, fpp = 0.01, compactAt = 8)
         seen.bootstrap(spark.range(0, 1000).select(xxhash64(col("id")).as("url_hash"),
           col("id").cast("string").as("url")))
         seen.addWave(spark.range(1000, 1200).select(xxhash64(col("id")).as("url_hash")))
         val out = seen.freshAndConfirmed(
           spark.range(500, 2000).select(xxhash64(col("id")).as("url_hash")))
         out.collect()
-        val s = out.queryExecution.explainString(FormattedMode)
-        seen.close()
-        s
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        out.queryExecution.explainString(FormattedMode)
+      } finally {
+        seen.close() // ADVICE r3: must run even when collect/explain throws
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
     }
 
     val sections: Seq[(String, String, String)] = Seq(

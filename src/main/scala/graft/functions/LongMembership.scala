@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.util.sketch.BloomFilter
 
-import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicReferenceArray
 
 /** Approximate-membership probe over 64-bit keys — the common face of the
@@ -62,10 +61,11 @@ object LongMembership {
   /** Raw bytes of bucket `b`'s image under an overlay chain of bank dirs
     * (first dir containing the bucket file wins — newest overlay first);
     * null when no dir has it. */
-  def loadBucketBytes(dirs: Seq[String], b: Int): Array[Byte] = {
-    val it = dirs.iterator.map(d => Paths.get(d, s"bucket_$b.bin")).find(Files.exists(_))
-    it.map(Files.readAllBytes).orNull
-  }
+  def loadBucketBytes(dirs: Seq[String], b: Int): Array[Byte] =
+    dirs.iterator
+      .map(d => graft.sources.StateIO.forPath(d).readBytesIfExists(s"$d/bucket_$b.bin"))
+      .collectFirst { case bytes if bytes != null => bytes }
+      .orNull
 
   /** The BASE probe face of the seen state: per-bucket filter images in
     * shared storage (the IceLite state root in production), loaded
@@ -80,10 +80,11 @@ object LongMembership {
     * this replaces.)
     *
     * `dirs` is an overlay chain, newest first (cuckoo unsee rewrites only
-    * the affected buckets into a fresh overlay dir). Reads go through
-    * java.nio against the shared state root — the same storage contract
-    * as [[graft.sources.IceLite]] (real deployments swap in the Hadoop
-    * FileSystem API verbatim). */
+    * the affected buckets into a fresh overlay dir). Reads go through the
+    * [[graft.sources.StateIO]] seam against the shared state root — the
+    * same storage contract as [[graft.sources.IceLite]]: a URI root
+    * (hdfs://, s3a://, file://) runs on the Hadoop FileSystem API, so a
+    * multi-executor deployment probes images any node wrote. */
   final case class FileBank(dirs: Seq[String], buckets: Int, cuckoo: Boolean)
     extends LongMembership {
 

@@ -7,7 +7,9 @@ import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.sources.StateIO
+
+import java.nio.file.Files
 
 /** Distributed URL-seen state for the 10^10 path (SURVEY §7.5(4)): an
   * LSM-style stack of hash-bucketed, executor-resident pieces (the EXACT
@@ -108,10 +110,11 @@ final class SeenState(
   // table, version-gated — these dirs are scratch).
   private val instRoot: String = {
     val base =
-      if (bankRoot != null) Paths.get(bankRoot)
-      else Files.createTempDirectory("graft-seen-bank")
-    Files.createDirectories(base)
-    base.resolve(java.util.UUID.randomUUID.toString.take(8)).toString
+      if (bankRoot != null) bankRoot
+      else Files.createTempDirectory("graft-seen-bank").toString
+    val inst = s"$base/${java.util.UUID.randomUUID.toString.take(8)}"
+    StateIO.forPath(inst).mkdirs(inst)
+    inst
   }
 
   /** Bucket column — MUST equal the partition id `repartition(B,
@@ -197,7 +200,7 @@ final class SeenState(
 
   private def nextBankDir(): String = {
     bankVersion += 1
-    Paths.get(instRoot, s"v$bankVersion").toString
+    s"$instRoot/v$bankVersion"
   }
 
   /** One distributed pass over `df` building the bank at `cap`: tasks
@@ -205,7 +208,7 @@ final class SeenState(
     * per-bucket (count, dropped) stats return to the driver — the images
     * themselves never leave the executors. */
   private def writeBankFiles(df: DataFrame, cap: Long, dir: String): Array[(Int, Long, Long)] = {
-    Files.createDirectories(Paths.get(dir))
+    StateIO.forPath(dir).mkdirs(dir)
     val cuckoo = useCuckoo
     grouped(df, estFilterBytes(cap))
       .agg(aggFor(cap).as("f"), count(lit(1)).as("n"))
@@ -425,7 +428,7 @@ final class SeenState(
       .as[(Int, Seq[Long])].collect()
     if (byBucket.isEmpty) return
     val overlay = nextBankDir()
-    Files.createDirectories(Paths.get(overlay))
+    StateIO.forPath(overlay).mkdirs(overlay)
     val dirs = bankDirs
     val cap = perBucketCap
     spark.createDataset(byBucket.toSeq)
@@ -524,7 +527,7 @@ final class SeenState(
     pieces.foreach(GraftShim.freeCheckpoint)
     pieces = Vector(prep(seenDf))
     val dir = nextBankDir()
-    Files.createDirectories(Paths.get(dir))
+    StateIO.forPath(dir).mkdirs(dir)
     val stats = bank.select(col("bucket").cast("int"), col("image"), col("n").cast("long"))
       .as[(Int, Array[Byte], Long)]
       .map { case (b, img, n) =>
@@ -590,21 +593,12 @@ final class SeenState(
 
 object SeenState {
   /** Atomic per-bucket image write (temp + rename; task-retry-safe:
-    * last-writer-wins on identical content). */
-  private[plans] def writeBucketFile(dir: String, b: Int, bytes: Array[Byte]): Unit = {
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
-    val tmp = d.resolve(s".bucket_$b.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, d.resolve(s"bucket_$b.bin"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+    * last-writer-wins on identical content). Runs INSIDE executor tasks
+    * — the StateIO seam resolves the filesystem per call, so a URI bank
+    * root lands the image on shared storage (VERDICT r3 #1). */
+  private[plans] def writeBucketFile(dir: String, b: Int, bytes: Array[Byte]): Unit =
+    StateIO.forPath(dir).writeAtomic(s"$dir/bucket_$b.bin", bytes)
 
-  private[plans] def deleteDir(dir: String): Unit = scala.util.Try {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f); () })
-    }
-  }
+  private[plans] def deleteDir(dir: String): Unit =
+    StateIO.forPath(dir).deleteRecursive(dir)
 }

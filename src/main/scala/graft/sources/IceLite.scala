@@ -6,7 +6,6 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** IceLite — minimal Iceberg-style table format: immutable parquet data
@@ -45,17 +44,24 @@ object IceLite {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
   final class Table(val root: String, spark: SparkSession) {
-    private def metaDir: Path = Paths.get(root, "metadata")
-    private def hint: Path = metaDir.resolve("version-hint.txt")
+    // ALL metadata/manifest IO goes through the storage seam: local paths
+    // behave exactly as before (StateIO.Nio), URI roots (file://, hdfs://,
+    // s3a://) run on the Hadoop FileSystem API — the multi-executor
+    // deployment the north rule names (VERDICT r3 #1).
+    private val io: StateIO = StateIO.forPath(root)
+    private def metaDir: String = s"$root/metadata"
+    private def hint: String = s"$metaDir/version-hint.txt"
 
-    def currentVersion: Int =
-      if (Files.exists(hint)) new String(Files.readAllBytes(hint)).trim.toInt else -1
+    def currentVersion: Int = {
+      val b = io.readBytesIfExists(hint)
+      if (b != null) new String(b).trim.toInt else -1
+    }
 
     def snapshot(v: Int): Option[Snapshot] = {
-      val f = metaDir.resolve(s"v$v.json")
-      if (!Files.exists(f)) None
+      val b = io.readBytesIfExists(s"$metaDir/v$v.json")
+      if (b == null) None
       else {
-        val raw = mapper.readValue(Files.readAllBytes(f), classOf[Snapshot])
+        val raw = mapper.readValue(b, classOf[Snapshot])
         // Jackson + erasure lands small counters as Integer; normalize via
         // an unspecialized view (a typed lambda would unbox and throw).
         val fixed = raw.counters.asInstanceOf[Map[String, Any]].map { kv =>
@@ -109,14 +115,14 @@ object IceLite {
       * hence crash-safe) data dir: row counts + url_hash min/max per
       * file. Cost is one footer read per file — no data pages touched. */
     private def writeManifest(dirRel: String): Unit = {
-      val dirAbs = Paths.get(root, dirRel)
+      val dirAbs = s"$root/$dirRel"
       val conf = spark.sparkContext.hadoopConfiguration
-      val stats = Files.list(dirAbs).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-        .map { f =>
+      val stats = io.listNames(dirAbs)
+        .filter(_.endsWith(".parquet"))
+        .sorted
+        .map { name =>
           val rd = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(s"$dirAbs/$name"), conf))
           try {
             val blocks = rd.getFooter.getBlocks.asScala.toSeq
             val rows = blocks.map(_.getRowCount).sum
@@ -137,20 +143,20 @@ object IceLite {
                   }
                 }
             }
-            FileStat(f.getFileName.toString, rows, has,
+            FileStat(name, rows, has,
               if (has) mn else 0L, if (has) mx else 0L)
           } finally rd.close()
         }
-      Files.write(dirAbs.resolve("_manifest.json"),
+      io.writeAtomic(s"$dirAbs/_manifest.json",
         mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(stats.toArray))
     }
 
     /** The per-file manifest of one data dir (empty if written by an
       * older layout without manifests). */
     def manifest(dirRel: String): Seq[FileStat] = {
-      val f = Paths.get(root, dirRel, "_manifest.json")
-      if (!Files.exists(f)) Seq.empty
-      else mapper.readValue(Files.readAllBytes(f), classOf[Array[FileStat]]).toSeq
+      val b = io.readBytesIfExists(s"$root/$dirRel/_manifest.json")
+      if (b == null) Seq.empty
+      else mapper.readValue(b, classOf[Array[FileStat]]).toSeq
     }
 
     /** All (dataDir, fileStat) pairs of the current snapshot. */
@@ -195,35 +201,21 @@ object IceLite {
       val referenced = versions.filter(_ >= keepMin).flatMap(snapshot)
         .flatMap(_.dataDirs).toSet
       val dropDirs = drop.flatMap(snapshot).flatMap(_.dataDirs).toSet -- referenced
-      dropDirs.foreach { d =>
-        val p = Paths.get(root, d)
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { Files.deleteIfExists(f); () })
-      }
-      drop.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
+      dropDirs.foreach(d => io.deleteRecursive(s"$root/$d"))
+      drop.foreach(v => io.deleteIfExists(s"$metaDir/v$v.json"))
     }
 
-    private def listVersions(): Seq[Int] = {
-      if (!Files.exists(metaDir)) return Nil
-      Files.list(metaDir).iterator().asScala
-        .map(_.getFileName.toString)
+    private def listVersions(): Seq[Int] =
+      io.listNames(metaDir)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-        .toSeq.sorted
-    }
+        .sorted
 
     private def commit(snap: Snapshot): Unit = {
-      Files.createDirectories(metaDir)
+      io.mkdirs(metaDir)
       val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(snap)
-      val tmp = metaDir.resolve(s".v${snap.version}.json.tmp")
-      Files.write(tmp, body)
-      Files.move(tmp, metaDir.resolve(s"v${snap.version}.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      val htmp = metaDir.resolve(".version-hint.tmp")
-      Files.write(htmp, snap.version.toString.getBytes)
-      Files.move(htmp, hint,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      io.writeAtomic(s"$metaDir/v${snap.version}.json", body)
+      io.writeAtomic(hint, snap.version.toString.getBytes)
     }
 
     /** Append df as a new snapshot (previous data retained). */
@@ -255,12 +247,9 @@ object IceLite {
       * "no snapshot". Data files of newer snapshots stay on disk — a later
       * commit with the same version simply overwrites them. */
     def resetTo(v: Int): Unit = {
-      if (v < 0) { Files.deleteIfExists(hint); return }
+      if (v < 0) { io.deleteIfExists(hint); return }
       require(snapshot(v).isDefined, s"no snapshot v$v in $root")
-      val htmp = metaDir.resolve(".version-hint.tmp")
-      Files.write(htmp, v.toString.getBytes)
-      Files.move(htmp, hint,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      io.writeAtomic(hint, v.toString.getBytes)
     }
 
     /** Roll back past any snapshot whose counters violate `keep` — used on
@@ -272,14 +261,7 @@ object IceLite {
       if (v != currentVersion) resetTo(v)
     }
 
-    def snapshots: Seq[Snapshot] = {
-      if (!Files.exists(metaDir)) return Nil
-      Files.list(metaDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-        .toSeq.sorted.flatMap(snapshot)
-    }
+    def snapshots: Seq[Snapshot] = listVersions().flatMap(snapshot)
   }
 
   def table(root: String, spark: SparkSession): Table = new Table(root, spark)
