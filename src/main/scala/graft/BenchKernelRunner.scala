@@ -54,13 +54,26 @@ object BenchKernelRunner {
     }
 
   /** Rules over `nHosts` hosts — past the 64-host compile cutover this
-    * forces the production JOINED robots path (broadcast packed rules),
-    * the regime a 10^7-robots.txt-host crawl runs in. */
+    * forces the production JOINED robots path, the regime a
+    * 10^7-robots.txt-host crawl runs in. */
   def benchRulesFor(nHosts: Int): Seq[RobotsRule] =
     (0 until nHosts).map { h =>
       RobotsRule(s"h$h.example.org", if (h % 4 == 3) "/p/1" else "/",
         allow = h % 4 != 3, crawl_delay = if (h == 0) 2 else 1)
     }
+
+  /** The same rule shape generated DISTRIBUTED — at 10^6+ ruled hosts the
+    * driver never holds a rule; `Robots.policyFromDf` packs per-host rows
+    * executor-side and (past [[graft.operators.Robots.MaxBroadcastHosts]])
+    * the kernel joins them by shuffle, not broadcast. */
+  def benchRulesDf(spark: SparkSession, nHosts: Int): DataFrame =
+    spark.range(0, nHosts.toLong, 1, math.max(1, nHosts / 250000))
+      .select(
+        concat(lit("h"), col("id"), lit(".example.org")).as("host"),
+        when(pmod(col("id"), lit(4)) === 3, lit("/p/1")).otherwise(lit("/"))
+          .as("path_prefix"),
+        (pmod(col("id"), lit(4)) =!= 3).as("allow"),
+        when(col("id") === 0, lit(2)).otherwise(lit(1)).as("crawl_delay"))
 
   /** One kernel pass; returns (wallSec, urlsProcessed = scheduled+deduped).
     * Inputs AND the seen-state bootstrap (bucket pieces + filters) are
@@ -77,8 +90,9 @@ object BenchKernelRunner {
       expectedItems = math.max((n * seenFactor).toLong, 1000L),
       fpp = 0.01, compactAt = 8)
     seen.bootstrap(seenHashes)
-    val rules = if (ruledHosts == 16) benchRules else benchRulesFor(ruledHosts)
-    val policy = graft.operators.Robots.policy(rules, spark)
+    val policy =
+      if (ruledHosts == 16) graft.operators.Robots.policy(benchRules, spark)
+      else graft.operators.Robots.policyFromDf(benchRulesDf(spark, ruledHosts))
     val t0 = System.nanoTime()
     val r = FrontierKernel.scheduleDedup(spark, frontier, n, seen, policy,
       hostBudget = Int.MaxValue / 4, saltBuckets = cpus * 2,
@@ -86,8 +100,8 @@ object BenchKernelRunner {
     val wall = (System.nanoTime() - t0) / 1e9
     frontier.unpersist()
     seen.close()
-    policy match { // rep hygiene: a leaked packed broadcast degrades later reps
-      case graft.operators.Robots.Joined(packed) => packed.unpersist()
+    policy match { // rep hygiene: a leaked packed cache degrades later reps
+      case j: graft.operators.Robots.Joined => j.packed.unpersist(); ()
       case _ => ()
     }
     (wall, r.scheduled + r.newUrls + r.dedupHits)

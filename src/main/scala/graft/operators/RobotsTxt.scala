@@ -193,17 +193,20 @@ object RobotsTxt {
   /** Join-path twin of [[CompiledTxt]] for rule sets past the compile
     * cutover: one packed row per host — rules sorted (longest pattern
     * first, allow before disallow on ties) so the FIRST matching rule IS
-    * the RFC 9309 decision — broadcast and joined on `host` alone.
-    * Wildcard-free patterns probe via codegen `startswith`; wildcard /
-    * anchored patterns carry their pre-translated regex (`rx`) and probe
-    * via rlike. Scales to 10^7 robots.txt hosts: bodies parse where they
-    * live ([[parse_robots_txt]]), only packed rows move. */
-  final case class JoinedTxt(packed: org.apache.spark.sql.DataFrame)
-      extends Robots.RobotsPolicy {
+    * the RFC 9309 decision — joined on `host` alone. Wildcard-free
+    * patterns probe via codegen `startswith`; wildcard / anchored
+    * patterns carry their pre-translated regex (`rx`) and probe via
+    * rlike. Scales to 10^7 robots.txt hosts: bodies parse where they
+    * live ([[parse_robots_txt]]), only packed rows move, and past
+    * [[Robots.MaxBroadcastHosts]] packed rows the join goes shuffle-hash
+    * on host instead of broadcast (same cutover as [[Robots.Joined]] —
+    * no O(rules) broadcast at the 10^7 regime). */
+  final case class JoinedTxt(packed: org.apache.spark.sql.DataFrame,
+      hosts: Long = -1L) extends Robots.RobotsPolicy {
     def withAllowed(df: org.apache.spark.sql.DataFrame, path: Column,
         out: String): org.apache.spark.sql.DataFrame = {
-      val joined = df.join(broadcast(packed.select(col("host"), col("__rules"))),
-        Seq("host"), "left_outer")
+      val joined = Robots.rulesJoin(df,
+        packed.select(col("host"), col("__rules")), hosts)
       joined.withColumn(out, coalesce(
           get(filter(col("__rules"), r =>
             when(r.getField("wild"), rlike(path, r.getField("rx")))
@@ -214,8 +217,8 @@ object RobotsTxt {
     }
     def withBudget(df: org.apache.spark.sql.DataFrame, hostBudget: Int,
         out: String): org.apache.spark.sql.DataFrame = {
-      val joined = df.join(broadcast(packed.select(col("host"), col("__delay"))),
-        Seq("host"), "left_outer")
+      val joined = Robots.rulesJoin(df,
+        packed.select(col("host"), col("__delay")), hosts)
       joined.withColumn(out,
           when(col("__delay").isNull, lit(hostBudget))
             .otherwise(greatest(lit(1),
@@ -224,8 +227,7 @@ object RobotsTxt {
     }
     def withDelay(df: org.apache.spark.sql.DataFrame,
         out: String): org.apache.spark.sql.DataFrame =
-      df.join(broadcast(packed.select(col("host"), col("__delay"))),
-          Seq("host"), "left_outer")
+      Robots.rulesJoin(df, packed.select(col("host"), col("__delay")), hosts)
         .withColumn(out, greatest(lit(1L), coalesce(col("__delay").cast("long"), lit(1L))))
         .drop("__delay")
   }
@@ -276,7 +278,7 @@ object RobotsTxt {
         r.getString(0) -> Group(rules, delay)
       }.toMap
       CompiledTxt(byHost)
-    } else JoinedTxt(packTxt(parsed).persist())
+    } else JoinedTxt(packTxt(parsed).persist(), nHosts)
   }
 
   // ---- distributed parse: a codegen Catalyst expression ------------------

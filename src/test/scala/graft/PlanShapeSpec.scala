@@ -114,6 +114,34 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("joined robots above the cutover has NO O(rules) broadcast in the plan") {
+    import spark.implicits._
+    val rules = (0 until 300).map(h =>
+      RobotsRule(s"h$h.com", if (h % 4 == 3) "/p/1" else "/", allow = h % 4 != 3, 1))
+    val packed = Robots.packRules(rules.toDF()).persist()
+    try {
+      // hosts declared past MaxBroadcastHosts → the shuffle-hash strategy
+      // (the table is small here; the PLAN SHAPE is what's under test)
+      val policy = Robots.Joined(packed, Robots.MaxBroadcastHosts + 1)
+      val df = spark.range(0, 5000)
+        .select(concat(lit("h"), pmod(col("id"), lit(400)), lit(".com")).as("host"),
+          concat(lit("/p/"), pmod(col("id"), lit(7))).as("path"))
+      val out = policy.withAllowed(df, col("path"), "ok")
+      out.collect() // force the final AQE plan
+      val full = out.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        s"rules broadcast above the cutover:\n${plan.take(3000)}")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected shuffle-hash rules join:\n${plan.take(3000)}")
+      // and decisions are right: h3.com blocks /p/1*, everything else open
+      val blocked = out.filter(!col("ok")).select("host").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(blocked.nonEmpty && blocked.forall(h =>
+        h.stripPrefix("h").stripSuffix(".com").toInt % 4 == 3))
+    } finally { packed.unpersist(); () }
+  }
+
   test("politeness budget via Joined policy matches Compiled policy") {
     import spark.implicits._
     val rules = (0 until 200).map(h =>
