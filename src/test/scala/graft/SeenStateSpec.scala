@@ -118,6 +118,37 @@ class SeenStateSpec extends AnyFunSuite {
     assert(got == (700L until 800L).map(byId).toSet)
   }
 
+  test("tiered compaction: 30-wave run never re-shuffles the base piece") {
+    // VERDICT r3 #3 gate. Base 50k ≫ waves of 1k: the all-pieces union
+    // would re-merge the base every ~compactAt waves (≈6 × ~55-80k ≈ 400k
+    // rows re-shuffled); the size-tiered policy merges only similar-sized
+    // runs, so the base piece must survive the whole run untouched and
+    // the background shuffle volume stays ∝ Σwaves·log, not ∝ seen·waves.
+    val s = new SeenState(spark, buckets = 4, useCuckoo = false,
+      expectedItems = 100000L, fpp = 0.01, compactAt = 6)
+    s.bootstrap(hashes(0, 50000))
+    (0 until 30).foreach { i =>
+      s.addWave(hashes(50000L + i * 1000L, 50000L + (i + 1) * 1000L), 1000L)
+      assert(s.pieceCount < 6 || s.pieceCount == s.pieceSizesView.size,
+        "piece bookkeeping out of sync")
+    }
+    assert(s.pieceCount < 6, s"chain unbounded: ${s.pieceCount}")
+    assert(s.compactions >= 1)
+    // the witness: the 50k base was never part of a merge group…
+    assert(s.pieceSizesView.contains(50000L),
+      s"base piece was re-merged; sizes=${s.pieceSizesView}")
+    // …and total compaction shuffle stayed far under the all-union volume
+    assert(s.compactedRowsTotal < 150000L,
+      s"compaction re-shuffled ${s.compactedRowsTotal} rows (old scheme ≈ 400k)")
+    assert(s.totalSeen == 80000L)
+    // exactness after 30 waves of tiered merging
+    val got = s.antiJoin(hashes(79000, 81000)).collect().map(_.getLong(0)).toSet
+    val byId = spark.range(79000, 81000).select(col("id"), xxhash64(col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (80000L until 81000L).map(byId).toSet)
+    s.close()
+  }
+
   test("cuckoo mode: unseeReinsert round-trips without false negatives") {
     val s = new SeenState(spark, buckets = 4, useCuckoo = true,
       expectedItems = 100000L, fpp = 0.01, compactAt = 8)
