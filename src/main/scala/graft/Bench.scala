@@ -60,21 +60,37 @@ object Bench {
     dir
   }
 
-  private def runCrawl(spark: SparkSession, cfg: Corpus.Config, cpus: Int, tag: String): (Double, Long) = {
+  /** One end-to-end crawl; returns (wall, urls, per-step wall totals).
+    * Step totals come through [[CrawlJob.stepSink]], so each rep's JSON
+    * carries WHERE the time went — a contended host window shows up as
+    * uniformly inflated steps, an engine regression as one step growing. */
+  private def runCrawl(spark: SparkSession, cfg: Corpus.Config, cpus: Int, tag: String,
+      hostBudget: Int = 2048, virtualClock: Boolean = false): (Double, Long, Map[String, Double]) = {
     val docs = spark.read.parquet(corpusPath(spark, cfg)).persist()
     docs.count() // the corpus is the simulated web: resident, like a warm page cache
     val root = Files.createTempDirectory(s"graft-bench-$tag").toString
     val jobCfg = CrawlJob.Config(
       seeds = Seq(Corpus.pageUrl(cfg, 0, 0), Corpus.pageUrl(cfg, 1, 0)),
-      onDomain = false, hostBudget = 2048, maxWaves = 40,
-      numPartitions = cpus, saltBuckets = math.max(4, cpus / 2))
+      onDomain = false, hostBudget = hostBudget, maxWaves = 40,
+      numPartitions = cpus, saltBuckets = math.max(4, cpus / 2),
+      virtualClock = virtualClock)
+    val steps = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    CrawlJob.stepSink = (s, dt) => { steps.merge(s, dt, (a, b) => a + b); () }
     val t0 = System.nanoTime()
-    val metrics: Seq[WaveMetrics] = CrawlJob.run(spark, docs, Corpus.robotsRules(cfg), jobCfg, root)
+    val metrics: Seq[WaveMetrics] =
+      try CrawlJob.run(spark, docs, Corpus.robotsRules(cfg), jobCfg, root)
+      finally CrawlJob.stepSink = null
     val wall = (System.nanoTime() - t0) / 1e9
     val urls = metrics.map(m => m.fetched + m.fetch_miss + m.dedup_hits).sum +
       metrics.map(_.robots_blocked).sum
-    (wall, urls)
+    docs.unpersist()
+    import scala.jdk.CollectionConverters._
+    (wall, urls, steps.asScala.toMap)
   }
+
+  private def stepsJson(steps: Map[String, Double]): String =
+    steps.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,18 +139,37 @@ object Bench {
     val seen10Rate = su / sw
     spark.catalog.clearCache()
 
-    // joined-robots regime: 10^4 ruled hosts forces the broadcast
-    // packed-rules path — the kernel number the 10^7-host regime runs at
-    // (the 16-host headline exercises only the compiled chain)
+    // joined-robots regime: 10^4 ruled hosts takes the BROADCAST
+    // packed-rules path, 10^6 crosses Robots.MaxBroadcastHosts and takes
+    // the SHUFFLE-HASH rules join — the no-O(rules)-broadcast path the
+    // 10^7-host regime runs (the 16-host headline is the compiled chain)
     val (jw, ju) = BenchKernelRunner.run(spark, seen10N, cpus, ruledHosts = 10000)
     val joinedRate = ju / jw
     spark.catalog.clearCache()
+    val (jw6, ju6) = BenchKernelRunner.run(spark, seen10N, cpus, ruledHosts = 1000000)
+    val joined1mRate = ju6 / jw6
+    spark.catalog.clearCache()
 
-    // secondary: end-to-end crawl incl. checkpoints
+    // secondary: end-to-end crawl incl. checkpoints. Best-of-2 with every
+    // rep + its per-step totals emitted: round 3's single sample (322
+    // urls/s in a contended window) nearly read as a 4x regression when
+    // the engine was at >=parity — the artifact now defends itself.
     val cfg = corpusConfig(sfDir)
-    val (cw, cu) = runCrawl(spark, cfg, cpus, s"main$cpus")
+    val crawlReps = (1 to 2).map(i => runCrawl(spark, cfg, cpus, s"main$cpus-$i"))
+    val (cw, cu, _) = crawlReps.minBy(_._1)
+    val crawlRepsJson = crawlReps.map { case (w, u, st) =>
+      s"""{"wall_sec":$w,"urls":$u,"urls_per_sec":${u / w},"steps":${stepsJson(st)}}"""
+    }.mkString("[", ",", "]")
+    spark.catalog.clearCache()
+
+    // contended-politeness regime: hostBudget 4 + virtual clock — the
+    // per-host windows and cross-wave carryover ON the clock (the 2048
+    // row barely exercises them), and the first perf number for the r3
+    // virtual-clock path
+    val (tw, tu, tsteps) = runCrawl(spark, cfg, cpus, s"tight$cpus",
+      hostBudget = 4, virtualClock = true)
     val crawlStats =
-      s""""crawl_wall_sec":$cw,"crawl_urls":$cu,"crawl_urls_per_sec":${cu / cw}"""
+      s""""crawl_wall_sec":$cw,"crawl_urls":$cu,"crawl_urls_per_sec":${cu / cw},"crawl_reps":$crawlRepsJson,"crawl_tight_budget":4,"crawl_tight_wall_sec":$tw,"crawl_tight_urls":$tu,"crawl_tight_urls_per_sec":${tu / tw},"crawl_tight_steps":${stepsJson(tsteps)}"""
     spark.catalog.clearCache()
 
     // relational + operator battery timings: warm runs (min of 2) — the
@@ -176,6 +211,6 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"queries":$qs,$crawlStats$scaling,"sf":"$sfDir"}""")
+      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"kernel_joined_robots_1m_hosts":1000000,"kernel_joined_robots_1m_urls_per_sec":$joined1mRate,"queries":$qs,$crawlStats$scaling,"sf":"$sfDir"}""")
   }
 }

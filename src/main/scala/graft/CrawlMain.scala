@@ -18,6 +18,7 @@ import java.util.concurrent.atomic.AtomicBoolean
   *     [--robots <parquet of (host,path_prefix,allow,crawl_delay)>]
   *     [--robots-txt <parquet of (host,body) raw robots.txt>] [--agent TOKEN]
   *     [--max-retries N] [--stream <dir of seed-request json files>]
+  *     [--intake-idle-sec N] [--probe-url <url>]
   *
   * Validation mirrors the handler: invalid seed → exit 400-style error;
   * the job itself runs to completion (or resumes from the state root's
@@ -45,6 +46,8 @@ object CrawlMain {
     var expireKeep = 16
     var streamDir = ""
     var virtualClock = false
+    var probeUrl = ""
+    var intakeIdleSec = 5
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -62,9 +65,24 @@ object CrawlMain {
         case "--max-retries" => maxRetries = args(i + 1).toInt; i += 2
         case "--expire-keep" => expireKeep = args(i + 1).toInt; i += 2
         case "--stream" => streamDir = args(i + 1); i += 2
+        case "--intake-idle-sec" => intakeIdleSec = args(i + 1).toInt; i += 2
         case "--virtual-clock" => virtualClock = true; i += 1
+        case "--probe-url" => probeUrl = args(i + 1); i += 2
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
+    }
+    // --probe-url: manifest-pruned point lookup against an existing state
+    // root — no docs/seeds/crawl involved
+    if (probeUrl.nonEmpty) {
+      if (state.isEmpty) { System.err.println("required: --state <dir>"); sys.exit(2) }
+      val spark = SparkSession.builder().appName("graft-probe")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val hit = graft.plans.CrawlJob.probeUrl(spark, state, probeUrl)
+      println(s"scanned_files=${hit.inputFiles.length}")
+      hit.show(5, truncate = false)
+      spark.stop()
+      return
     }
     if (docsPath.isEmpty || state.isEmpty || (seeds.isEmpty && streamDir.isEmpty)) {
       System.err.println(
@@ -107,9 +125,54 @@ object CrawlMain {
         // be force-materialized up front (ADVICE r1)
         (spark.read.parquet(docsPath), Seq.empty[graft.model.RobotsRule])
 
+    // --stream: always-on intake running CONCURRENTLY with the wave loop
+    // (the reference's POST /crawl, serving/routes.go:94-96 — Init
+    // returns while the crawl goroutine runs, crawler.go:63-67). The
+    // streaming query owns the seed INBOX table (idempotent per-batch
+    // enqueue); the wave loop drains the inbox at every wave boundary
+    // (CrawlJob.drainInbox), so a seed POSTed mid-crawl joins the next
+    // wave. Single writer per table — no cross-writer commit races. With
+    // the frontier drained, the loop idles for `--intake-idle-sec`
+    // (deadline refreshed by new intake) before ending the crawl.
+    val intake: Option[org.apache.spark.sql.streaming.StreamingQuery] =
+      if (streamDir.isEmpty) None
+      else {
+        val t = CrawlJob.tables(state, spark)
+        val schema = graft.streaming.StreamOps.crawlRequestSchema
+          .add("seq", org.apache.spark.sql.types.LongType)
+        val req = spark.readStream.schema(schema).json(streamDir)
+        Some(graft.streaming.StreamOps.seedEntries(req)
+          .writeStream
+          .foreachBatch(graft.streaming.StreamOps.enqueueSeedBatch(t.inbox) _)
+          .option("checkpointLocation", s"$state/intake_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+          .start())
+      }
+    val intakeActive: () => Boolean = intake match {
+      case None => () => false
+      case Some(q) =>
+        val inbox = CrawlJob.tables(state, spark).inbox
+        val idleNanos = intakeIdleSec.toLong * 1000L * 1000L * 1000L
+        var lastV = Long.MinValue
+        var lastCall = 0L
+        var deadline = 0L
+        () => {
+          val now = System.nanoTime()
+          val v = inbox.currentVersion.toLong
+          // refresh the idle deadline on new intake, or when the loop is
+          // returning from a stretch of actual crawling (gap > 2 s)
+          if (v != lastV || now - lastCall > 2L * 1000 * 1000 * 1000) {
+            lastV = v; deadline = now + idleNanos
+          }
+          lastCall = now
+          q.isActive && now < deadline
+        }
+    }
+
     val jobCfg = CrawlJob.Config(seeds, onDomain, hostBudget, maxWaves, partitions,
       maxRetries = maxRetries, snapshotKeep = expireKeep,
-      virtualClock = virtualClock, stopRequested = () => stopFlag.get())
+      virtualClock = virtualClock, stopRequested = () => stopFlag.get(),
+      intakeActive = intakeActive)
 
     // robots: an explicit rules table wins; synth corpora default to their
     // own generated rules; plain parquet corpora default to allow-all.
@@ -117,27 +180,6 @@ object CrawlMain {
     // compile-vs-join cutover (and any driver-side collect) happens behind
     // Robots.policyFromDf, so a 10^7-host rules table never lands on the
     // driver (ADVICE r1: the unconditional collect is gone).
-    // --stream: always-on intake made CLI-reachable (the reference's
-    // POST /crawl, serving/routes.go:94-96, as a Structured Streaming
-    // source): drain every available seed-request file into the state
-    // root's frontier/url_seen via the idempotent per-batch admission
-    // (StreamOps.admitSeedBatch), then fall through to the wave loop,
-    // which resumes on the same root and picks the new seeds up as
-    // wave-0 entries. Re-running with the same --state continues the
-    // cycle — intake and crawl alternate on one durable state.
-    if (streamDir.nonEmpty) {
-      val t = CrawlJob.tables(state, spark)
-      val schema = graft.streaming.StreamOps.crawlRequestSchema
-        .add("seq", org.apache.spark.sql.types.LongType)
-      val req = spark.readStream.schema(schema).json(streamDir)
-      val q = graft.streaming.StreamOps.seedEntries(req)
-        .writeStream
-        .foreachBatch(graft.streaming.StreamOps.admitSeedBatch(spark, t.frontier, t.seen) _)
-        .option("checkpointLocation", s"$state/intake_checkpoint")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
 
     // --robots-txt wins over --robots: RAW robots.txt bodies — the shape
     // a real robots corpus has (the reference consumes exactly this via
@@ -157,6 +199,7 @@ object CrawlMain {
         CrawlJob.runWithRulesDf(spark, docs, rulesDf, jobCfg, state)
       }
 
+    intake.foreach(q => scala.util.Try(q.stop()))
     metrics.foreach(m => println(
       s"wave=${m.wave} fetched=${m.fetched} deferred=${m.deferred} " +
         s"robots_blocked=${m.robots_blocked} dedup_hits=${m.dedup_hits} " +

@@ -86,6 +86,27 @@ object PlanDump {
       }
     }
 
+    // Joined robots past the broadcast cutover (VERDICT r3 #2): the packed
+    // one-row-per-host rules table joins by SHUFFLE-HASH on host, so at
+    // 10^7 ruled hosts nothing O(rules) is broadcast or resident-per-
+    // executor; each task builds a hash map over its packed-rules slice.
+    val robotsShufflePlan = {
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+      val packed = operators.Robots.packRules(
+        BenchKernelRunner.benchRulesDf(spark, 1000)).persist()
+      try {
+        val policy = operators.Robots.Joined(packed,
+          operators.Robots.MaxBroadcastHosts + 1)
+        val df = spark.range(0, 5000)
+          .select(concat(lit("h"), pmod(col("id"), lit(1200)),
+            lit(".example.org")).as("host"),
+            concat(lit("/p/"), pmod(col("id"), lit(7))).as("path"))
+        val out = policy.withAllowed(df, col("path"), "ok")
+        out.collect() // force the final AQE plan
+        out.queryExecution.explainString(FormattedMode)
+      } finally { packed.unpersist(); () }
+    }
+
     val sections: Seq[(String, String, String)] = Seq(
       ("q1_agg — filter pushdown + column pruning",
         "The shipdate filter reaches the parquet scan (PushedFilters) and " +
@@ -122,6 +143,14 @@ object PlanDump {
           "exact anti-join chain; positives confirm against the " +
           "pre-partitioned pieces with zero seen-side exchange.",
         probePlan),
+      ("joined robots past the broadcast cutover — shuffle-hash rules join",
+        "Above Robots.MaxBroadcastHosts (2^16) packed rows, the rules join " +
+          "on host is a ShuffledHashJoin — NO BroadcastExchange/" +
+          "BroadcastHashJoin of the O(rules) packed table anywhere, so a " +
+          "10^7-ruled-host crawl never ships or holds the rule set whole " +
+          "(PlanShapeSpec asserts this plan shape; RobotsScaleSpec proves " +
+          "decision-identity with the broadcast path at 10^5 hosts).",
+        robotsShufflePlan),
       ("d5_embedding_neardup — bucket-blocked self-join",
         "The pair join is an equi-join on the SRP bucket key (SortMergeJoin/" +
           "ShuffledHashJoin on bucket), not a cartesian product.",

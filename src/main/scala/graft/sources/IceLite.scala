@@ -236,6 +236,19 @@ object IceLite {
       commit(snap); snap
     }
 
+    /** Metadata-only commit: same data dirs, counters merged over the
+      * current snapshot's (e.g. advancing an intake high-water mark when
+      * nothing was admitted — an empty-data append would leave a dir
+      * spark.read can't infer a schema from). */
+    def amendCounters(counters: Map[String, Long]): Snapshot = {
+      val v = currentVersion + 1
+      val prev = currentSnapshot
+      val snap = Snapshot(v, v - 1, "append",
+        prev.map(_.dataDirs).getOrElse(Nil),
+        prev.map(_.counters).getOrElse(Map.empty) ++ counters, -1L)
+      commit(snap); snap
+    }
+
     /** Commit an empty replace (e.g. final empty frontier). */
     def replaceEmpty(counters: Map[String, Long] = Map.empty): Snapshot = {
       val v = currentVersion + 1

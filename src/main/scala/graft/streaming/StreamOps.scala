@@ -135,6 +135,27 @@ object StreamOps {
     admitted.unpersist()
   }
 
+  /** Always-on intake sink (CONCURRENT mode): append validated seed
+    * entries to the durable seed INBOX only. The wave loop drains the
+    * inbox at each wave boundary (CrawlJob.drainInbox) — intake and
+    * crawling run concurrently on one state root with a single writer
+    * per table (the streaming query owns the inbox, the loop owns
+    * frontier/seen), the lock-free twin of the reference's
+    * Init-returns-while-the-crawl-goroutine-runs (crawler.go:63-67).
+    * Idempotent under foreachBatch's at-least-once replay via the
+    * intake_batch marker; an empty batch advances the marker with a
+    * metadata-only commit. */
+  def enqueueSeedBatch(inbox: graft.sources.IceLite.Table)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (inbox.snapshots.exists(_.counters.get("intake_batch").contains(batchId)))
+      return // fully committed — replayed batch
+    val rows = batch.persist()
+    if (rows.count() == 0) inbox.amendCounters(Map("intake_batch" -> batchId))
+    else inbox.append(rows, Map("intake_batch" -> batchId))
+    rows.unpersist()
+    ()
+  }
+
   final case class HostEvent(host: String, ts: Long)
   final case class HostState(nextAllowed: Long, fetched: Long, deferred: Long)
   final case class HostDecision(host: String, ts: Long, admitted: Boolean)

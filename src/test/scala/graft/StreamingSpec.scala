@@ -165,6 +165,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1 == v2 && s1 == s2, "stream-intake crawl is not deterministic")
   }
 
+  test("CONCURRENT intake: a seed enqueued mid-crawl joins the next wave, " +
+      "final state equals the alternating-batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.synth.Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4)
+    val docs = spark.createDataset(graft.synth.Corpus.generate(cfg)).toDF()
+    val rules = graft.synth.Corpus.robotsRules(cfg)
+    val seedA = "http://site1.example.org/p/0"
+    val seedB = "http://site3.example.org/p/0"
+
+    def collectState(root: String) = {
+      val visits = CrawlJob.visitOrder(spark, root, 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+      val seen = CrawlJob.seenSet(spark, root).collect().map(_.getString(1)).toSet
+      (visits, seen)
+    }
+
+    // twin 1: ONE CrawlJob.run with a live streaming query enqueueing
+    // seed B into the inbox after wave 1 commits — the loop's own drain
+    // must pick it up at the wave-2 boundary, mid-run
+    val rootC = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    val t = CrawlJob.tables(rootC, spark)
+    val input = MemoryStream[(String, String, Boolean, String, String, Timestamp, Long)]
+    val df = input.toDF().toDF("index", "url", "on_domain", "engine", "type", "ts", "seq")
+    val q = StreamOps.seedEntries(df).writeStream
+      .foreachBatch(StreamOps.enqueueSeedBatch(t.inbox) _)
+      .start()
+    var injectedAtWave = -1
+    try {
+      val jobCfg = CrawlJob.Config(Seq(seedA), hostBudget = 3, maxWaves = 64,
+        numPartitions = 2, saltBuckets = 2, bloomItems = 100000L,
+        onWaveEnd = w => if (w == 1) {
+          input.addData(("idx", seedB, false, "eng", "elasticsearch",
+            Timestamp.valueOf("2024-01-01 00:00:00"), 0L))
+          q.processAllAvailable() // deterministic: enqueued before wave 2 starts
+          injectedAtWave = w
+        })
+      CrawlJob.run(spark, docs, rules, jobCfg, rootC)
+    } finally q.stop()
+    assert(injectedAtWave == 1)
+    assert(t.inbox.currentVersion >= 0 && !t.inbox.isEmpty, "inbox never written")
+    val (vC, sC) = collectState(rootC)
+    // the injected seed was crawled, in a wave AFTER the injection point
+    val seedBVisit = vC.find(_._3 == seedB)
+    assert(seedBVisit.exists(_._2 >= 2), s"seed B visit: $seedBVisit")
+    assert(sC.exists(_.startsWith("http://site3.example.org/p/")), "no expansion from seed B")
+
+    // twin 2: the alternating-batch admission (run 2 waves, admit via the
+    // batch path, resume) — the concurrent run must be state-identical
+    val rootB = java.nio.file.Files.createTempDirectory("graft-conc-twin").toString
+    def jobCfgB(w: Int) = CrawlJob.Config(Seq(seedA), hostBudget = 3, maxWaves = w,
+      numPartitions = 2, saltBuckets = 2, bloomItems = 100000L)
+    CrawlJob.run(spark, docs, rules, jobCfgB(2), rootB)
+    val tb = CrawlJob.tables(rootB, spark)
+    StreamOps.admitSeedBatch(spark, tb.frontier, tb.seen)(
+      Seq((seedB, graft.functions.UrlOps.urlHash64(seedB),
+        "site3.example.org", 0, 0L, 0))
+        .toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index"), 0L)
+    CrawlJob.run(spark, docs, rules, jobCfgB(64), rootB)
+    val (vB, sB) = collectState(rootB)
+    assert(vC == vB, "concurrent-intake visits differ from the alternating-batch twin")
+    assert(sC == sB, "concurrent-intake seen set differs from the alternating-batch twin")
+  }
+
+  test("enqueueSeedBatch is idempotent and drainInbox survives a marker-only inbox") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-enq-idem").toString
+    val t = CrawlJob.tables(root, spark)
+    def entries(urls: (String, Int)*) = urls.toSeq.map { case (u, seq) =>
+      (u, graft.functions.UrlOps.urlHash64(u), "h.com", 0, 0L, seq)
+    }.toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index")
+    val enq = StreamOps.enqueueSeedBatch(t.inbox) _
+    // empty batch 0 → marker-only snapshot (no data dirs)
+    enq(Seq.empty[(String, Long, String, Int, Long, Int)]
+      .toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index"), 0L)
+    assert(t.inbox.currentVersion == 0 && t.inbox.isEmpty)
+    enq(entries("http://h.com/a" -> 0), 1L)
+    val v1 = t.inbox.currentVersion
+    enq(entries("http://h.com/a" -> 0), 1L) // replay → no-op
+    assert(t.inbox.currentVersion == v1)
+    assert(t.inbox.read().count() == 1L)
+  }
+
   test("watermarked event windows aggregate a replayed batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
