@@ -48,6 +48,10 @@ object SparkEntry {
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "m3_decode_stub" -> (Multimodal.decodeStub _),
+    // ES-mapping analyzer chains (reference conf/mappings/*.json)
+    "x1_analyze_autocomplete" -> (AnalyzerOps.analyzeAutocomplete _),
+    "x2_analyze_standard" -> (AnalyzerOps.analyzeStandard _),
+    "x3_analyze_english_stop" -> (AnalyzerOps.analyzeEnglishStop _),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +91,8 @@ object SparkEntry {
     "m1_binary_meta" -> Multimodal.binaryMetaSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m3_decode_stub" -> Multimodal.decodeStubSql,
+    "x1_analyze_autocomplete" -> AnalyzerOps.analyzeAutocompleteSql,
+    "x2_analyze_standard" -> AnalyzerOps.analyzeStandardSql,
+    "x3_analyze_english_stop" -> AnalyzerOps.analyzeEnglishStopSql,
   )
 }
