@@ -90,7 +90,11 @@ object Bench {
 
   private def stepsJson(steps: Map[String, Double]): String =
     steps.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      // Locale.ROOT: the default-locale f-interpolator renders 0.42 as
+      // "0,42" on comma-decimal locales — invalid JSON in the artifact
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,9 +78,16 @@ object CrawlMain {
       val spark = SparkSession.builder().appName("graft-probe")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val hit = graft.plans.CrawlJob.probeUrl(spark, state, probeUrl)
-      println(s"scanned_files=${hit.inputFiles.length}")
-      hit.show(5, truncate = false)
+      try {
+        val hit = graft.plans.CrawlJob.probeUrl(spark, state, probeUrl)
+        val rows = hit.collect()
+        println(s"scanned_files=${hit.inputFiles.length} hits=${rows.length}")
+        rows.take(5).foreach(r => println(r.mkString("| ", " | ", " |")))
+      } catch {
+        case e: IllegalStateException =>
+          // fresh/empty state root: report not-found, don't crash the CLI
+          println(s"scanned_files=0 hits=0 (${e.getMessage})")
+      }
       spark.stop()
       return
     }
@@ -143,7 +150,8 @@ object CrawlMain {
         val req = spark.readStream.schema(schema).json(streamDir)
         Some(graft.streaming.StreamOps.seedEntries(req)
           .writeStream
-          .foreachBatch(graft.streaming.StreamOps.enqueueSeedBatch(t.inbox) _)
+          .foreachBatch(
+            graft.streaming.StreamOps.enqueueSeedBatch(t.inbox, Some(t.frontier)) _)
           .option("checkpointLocation", s"$state/intake_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
           .start())

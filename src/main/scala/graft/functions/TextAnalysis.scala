@@ -232,7 +232,7 @@ object TextAnalysis {
         val k = HalfKataBase.indexOf(c.toInt)
         if (k >= 0) {
           var full = FullKataBase.charAt(k)
-          val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+          val next = if (i + 1 < s.length) s.charAt(i + 1) else '\u0000'
           if (next == 'ﾞ' && Voiceable.contains(full)) {
             full = if (full == 'ウ') 'ヴ' else (full + 1).toChar; i += 1
           } else if (next == 'ﾟ' && full >= 'ハ' && full <= 'ホ') {
@@ -265,7 +265,10 @@ object TextAnalysis {
     * non-CJK runs emitted as whole word tokens. */
   def cjkAnalyze(text: String): Array[String] = {
     if (text == null) return null
-    val s = cjkWidthFold(text).toLowerCase
+    // Locale.ROOT: default-locale toLowerCase diverges per executor JVM
+    // (tr_TR folds I to dotless ı) — must match Spark's lower() and the
+    // DuckDB oracle on every node.
+    val s = cjkWidthFold(text).toLowerCase(java.util.Locale.ROOT)
     val out = ArrayBuffer.empty[String]
     var i = 0
     val n = s.length

@@ -104,8 +104,12 @@ object AnalyzerOps {
       else transform(tokens,
         t => when(t.isin(keywords.toSeq.sorted: _*), t).otherwise(porter_stem(t)))
     case EdgeNgram(minG, maxG) =>
-      flatten(transform(tokens, t =>
-        transform(sequence(lit(minG), greatest(least(length(t), lit(maxG)), lit(minG))),
+      // ES edge_ngram drops tokens shorter than min_gram entirely (it
+      // never emits a gram shorter OR longer than the token), so filter
+      // first — the clamped sequence otherwise fabricates a whole-token
+      // gram for short tokens when min_gram > 1.
+      flatten(transform(filter(tokens, t => length(t) >= lit(minG)), t =>
+        transform(sequence(lit(minG), least(length(t), lit(maxG))),
           i => substring(t, lit(1), i))))
   }
 

@@ -258,22 +258,48 @@ object CrawlJob {
     *    the admitted set against that snapshot's PARENT, so the seeds
     *    reach the frontier exactly once. */
   private def drainInbox(spark: SparkSession, t: Tables, seen: SeenState): Long = {
-    val curV = t.inbox.currentVersion.toLong
-    if (curV < 0) return 0L
-    val drained = t.frontier.currentSnapshot
-      .flatMap(_.counters.get("intake_drained")).getOrElse(-1L)
-    if (curV <= drained) return 0L
-    if (t.inbox.isEmpty) { // marker-only inbox commits: advance and move on
-      t.frontier.amendCounters(Map("intake_drained" -> curV)); return 0L
+    var total = 0L
+    var continue = true
+    while (continue) {
+      continue = false
+      val curV = t.inbox.currentVersion
+      if (curV >= 0) {
+        val drained = t.frontier.currentSnapshot
+          .flatMap(_.counters.get("intake_drained")).getOrElse(-1L).toInt
+        if (curV > drained) {
+          // A seen snapshot tagged with a drain version ABOVE the
+          // frontier's high-water mark is a crashed drain (its frontier
+          // append never landed). Replay the OLDEST such drain at ITS
+          // pinned version first — matching on curV alone would miss it
+          // whenever the always-on intake advanced the inbox between the
+          // crash and this boundary, silently stranding the admitted
+          // seeds in the seen set forever.
+          val crashed = t.seen.snapshots
+            .filter(_.counters.get("intake_drain_v").exists(_ > drained))
+            .sortBy(_.counters("intake_drain_v"))
+            .headOption
+          val target = crashed.map(_.counters("intake_drain_v").toInt).getOrElse(curV)
+          total += drainStep(spark, t, seen, drained, target, crashed)
+          continue = target < curV // replayed a prefix: drain the rest too
+        }
+      }
     }
-    // only the not-yet-drained batches (fall back to the full inbox +
-    // seen anti-join if the old version was expired)
-    val newRows = {
-      val all = t.inbox.read()
-      if (drained < 0) all
-      else scala.util.Try(t.inbox.readAt(drained.toInt).select("url_hash")).toOption
-        .map(old => all.join(old, Seq("url_hash"), "left_anti"))
-        .getOrElse(all)
+    total
+  }
+
+  /** One drain transaction over inbox batches (drained, target], pinned to
+    * `target`'s snapshot (never the mutable head: a replay must re-derive
+    * exactly the batch set a crashed seen append covered, and a concurrent
+    * intake append must not widen it). */
+  private def drainStep(spark: SparkSession, t: Tables, seen: SeenState,
+      drained: Int, target: Int, crashed: Option[IceLite.Snapshot]): Long = {
+    // delta read: O(new batches); falls back to all of target's dirs when
+    // `drained` was expired (the seen anti-join below removes re-reads)
+    val newRows = t.inbox.readBetween(drained, target) match {
+      case None => // marker-only commits in the range: advance and move on
+        t.frontier.amendCounters(Map("intake_drained" -> target.toLong))
+        return 0L
+      case Some(df) => df
     }
     // first-wins across pending batches (lowest link_index = arrival seq)
     val winners = newRows
@@ -283,8 +309,7 @@ object CrawlJob {
       .select(col("w.url").as("url"), col("url_hash"), col("w.host").as("host"),
         col("w.depth").as("depth"), col("w.parent_ord").as("parent_ord"),
         col("w.link_index").as("link_index"))
-    val drainSnap = t.seen.snapshots.find(_.counters.get("intake_drain_v").contains(curV))
-    val seenBase: Option[DataFrame] = drainSnap match {
+    val seenBase: Option[DataFrame] = crashed match {
       case Some(s) if s.parent >= 0 &&
           t.seen.snapshot(s.parent).exists(_.dataDirs.nonEmpty) =>
         Some(t.seen.readAt(s.parent)) // partial replay: dedup vs pre-drain seen
@@ -294,10 +319,10 @@ object CrawlJob {
     val admitted = seenBase.fold(winners)(sb =>
       winners.join(sb.select("url_hash"), Seq("url_hash"), "left_anti")).persist()
     val n = admitted.count()
-    if (n > 0 && drainSnap.isEmpty) {
+    if (n > 0 && crashed.isEmpty) {
       t.seen.append(
         admitted.select(col("url_hash"), col("url"), lit(0).as("wave")),
-        Map("intake_drain_v" -> curV))
+        Map("intake_drain_v" -> target.toLong))
       // the in-memory prefilter/pieces must cover the admitted seeds too
       // (a replayed drain skips this: the post-crash bootstrap already
       // read them from the durable seen table)
@@ -306,9 +331,9 @@ object CrawlJob {
     if (n > 0) {
       val prev = t.frontier.currentSnapshot.map(_.counters).getOrElse(Map.empty)
       t.frontier.append(admitted, prev +
-        ("intake_drained" -> curV) +
+        ("intake_drained" -> target.toLong) +
         ("frontier_size" -> (prev.getOrElse("frontier_size", 0L) + n)))
-    } else t.frontier.amendCounters(Map("intake_drained" -> curV))
+    } else t.frontier.amendCounters(Map("intake_drained" -> target.toLong))
     admitted.unpersist()
     n
   }

@@ -100,6 +100,49 @@ object IceLite {
       spark.read.parquet(snap.dataDirs.map(d => s"$root/$d"): _*)
     }
 
+    /** Version-pinned DELTA read: only the data dirs `toV` added after
+      * `fromV` (fromV = -1 → all of toV's dirs). None when the delta
+      * carries no data. Falls back to all of toV's dirs when fromV's
+      * snapshot has been expired — callers dedup against downstream state,
+      * so over-reading is safe; under-reading never happens because dirs
+      * are immutable once committed. This keeps inbox drains O(new
+      * batches) instead of O(total-ever) (an append snapshot's dataDirs
+      * list is cumulative). */
+    def readBetween(fromV: Int, toV: Int): Option[DataFrame] = {
+      val to = snapshot(toV).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot v$toV in $root"))
+      val base: Set[String] =
+        if (fromV < 0) Set.empty
+        else snapshot(fromV).map(_.dataDirs.toSet).getOrElse(Set.empty)
+      val delta = to.dataDirs.filterNot(base)
+      if (delta.isEmpty) None
+      else Some(spark.read.parquet(delta.map(d => s"$root/$d"): _*))
+    }
+
+    /** The version that committed data dir `rel` (parsed from the
+      * `data/s{v}-{nonce}` layout writeData uses). */
+    def dirVersion(rel: String): Int = {
+      val name = rel.stripPrefix("data/s")
+      name.takeWhile(_ != '-').toInt
+    }
+
+    /** Metadata-only commit that drops dirs matching `p` from the CURRENT
+      * snapshot's dataDirs, carrying the previous counters forward. Files
+      * stay on disk until `expire` finds no retained snapshot referencing
+      * them — so in-flight version-pinned readers are unaffected. Intended
+      * for the table's single writer (e.g. the seed inbox's intake sink
+      * truncating already-drained batches); no-op when nothing matches. */
+    def dropDirsWhere(p: String => Boolean): Option[Snapshot] = {
+      val cur = currentSnapshot.getOrElse(return None)
+      val kept = cur.dataDirs.filterNot(p)
+      if (kept.size == cur.dataDirs.size) None
+      else {
+        val snap = Snapshot(cur.version + 1, cur.version, "append", kept,
+          cur.counters, cur.rows)
+        commit(snap); Some(snap)
+      }
+    }
+
     private def writeData(df: DataFrame, v: Int): (String, Long) = {
       val nonce = java.util.UUID.nameUUIDFromBytes(
         s"$root-$v".getBytes).toString.take(8)
@@ -178,9 +221,15 @@ object IceLite {
         else m.filter(s => !s.hasHash || (h >= s.minHash && h <= s.maxHash))
           .map(s => s"$root/$d/${s.file}")
       }
+      if (dirs.isEmpty)
+        throw new IllegalStateException(s"IceLite table $root has no data; use readOr(schema)")
       if (files.isEmpty)
-        throw new IllegalStateException(s"no candidate files for hash $h in $root")
-      spark.read.parquet(files: _*)
+        // every file's [min,max] range excludes h: a definitive miss.
+        // Schema-only read (parquet footers, zero row groups scanned) so
+        // callers get an empty frame with the table's real schema instead
+        // of a throw.
+        spark.read.parquet(s"$root/${dirs.head}").limit(0)
+      else spark.read.parquet(files: _*)
     }
 
     /** Bound the snapshot log: drop snapshot metadata older than the last

@@ -116,11 +116,22 @@ object StateIO {
   case object Hadoop extends StateIO {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-    // Executors resolve their own FileSystem from the JVM-local Hadoop
-    // config (spark ships it on the classpath); nothing non-serializable
-    // is captured.
-    private def fs(p: HPath): FileSystem =
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // Executors resolve their own FileSystem from a JVM-local Hadoop
+    // config; nothing non-serializable is captured. The config is built
+    // ONCE per JVM and overlays `spark.hadoop.*` from the local SparkConf
+    // (SparkEnv exists on driver and executors alike) — the standard
+    // mechanism jobs use to carry s3a credentials/endpoints, which a bare
+    // `new Configuration()` (classpath XMLs only) would silently drop.
+    @transient private lazy val conf: org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null) env.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.hadoop."))
+          c.set(k.stripPrefix("spark.hadoop."), v)
+      }
+      c
+    }
+    private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
 
     def exists(path: String): Boolean = {
       val p = new HPath(path); fs(p).exists(p)
@@ -147,11 +158,22 @@ object StateIO {
         s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
-      // HDFS rename refuses an existing target: delete-then-rename, the
-      // HadoopTableOperations version-hint protocol (see class doc).
-      if (f.exists(p)) f.delete(p, false)
-      if (!f.rename(tmp, p))
-        throw new java.io.IOException(s"atomic publish failed: $tmp -> $p")
+      // Prefer FileContext rename with OVERWRITE — atomic on HDFS and the
+      // local fs, so readers never observe a missing version-hint. Fall
+      // back to delete-then-rename (the HadoopTableOperations protocol,
+      // see class doc) on stores with no AbstractFileSystem binding
+      // (e.g. bare s3a); there the hint has a missing-file window, which
+      // readers must treat as transient — durable decisions pin a
+      // version (v{N}.json files are write-once).
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (f.exists(p)) f.delete(p, false)
+          if (!f.rename(tmp, p))
+            throw new java.io.IOException(s"atomic publish failed: $tmp -> $p")
+      }
     }
     def mkdirs(dir: String): Unit = {
       val p = new HPath(dir); fs(p).mkdirs(p); ()

@@ -145,7 +145,8 @@ object StreamOps {
     * Idempotent under foreachBatch's at-least-once replay via the
     * intake_batch marker; an empty batch advances the marker with a
     * metadata-only commit. */
-  def enqueueSeedBatch(inbox: graft.sources.IceLite.Table)(
+  def enqueueSeedBatch(inbox: graft.sources.IceLite.Table,
+      frontier: Option[graft.sources.IceLite.Table] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     if (inbox.snapshots.exists(_.counters.get("intake_batch").contains(batchId)))
       return // fully committed — replayed batch
@@ -153,6 +154,19 @@ object StreamOps {
     if (rows.count() == 0) inbox.amendCounters(Map("intake_batch" -> batchId))
     else inbox.append(rows, Map("intake_batch" -> batchId))
     rows.unpersist()
+    // Reclaim drained batches so a long-lived inbox stays O(pending), not
+    // O(everything-ever-posted): dirs committed at versions the wave loop
+    // has already drained (frontier's intake_drained high-water, read-only
+    // here — the intake stays the inbox's single writer) are dropped from
+    // the live snapshot's dir list; expire() deletes the files once no
+    // retained snapshot references them. An in-flight drain is pinned to
+    // versions > drained, which this never touches.
+    frontier.foreach { f =>
+      val drained = f.currentSnapshot
+        .flatMap(_.counters.get("intake_drained")).getOrElse(-1L)
+      if (drained >= 0)
+        inbox.dropDirsWhere(d => inbox.dirVersion(d) <= drained)
+    }
     ()
   }
 

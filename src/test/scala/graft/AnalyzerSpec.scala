@@ -159,6 +159,14 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(grams.size == 20 && grams.last == "abcdefghijklmnopqrst")
   }
 
+  test("edge_ngram with min_gram>1 drops tokens shorter than min_gram (ES semantics)") {
+    val a = Analyzer("ac24", "standard", Seq(Lowercase, EdgeNgram(2, 4)))
+    // "a" is shorter than min_gram: ES edge_ngram emits NOTHING for it
+    // (never a fabricated whole-token gram)
+    assert(analyzeOne("A to dogsled", a) ==
+      Seq("to", "do", "dog", "dogs"))
+  }
+
   test("cjk analyzer chain end-to-end (width→lower→bigram→stop)") {
     assert(analyzeOne("the 東京タワー www", cjk) ==
       Seq("東京", "京タ", "タワ", "ワー"))

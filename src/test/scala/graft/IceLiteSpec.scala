@@ -75,6 +75,47 @@ class IceLiteSpec extends AnyFunSuite {
     assert(pruned.filter(col("url_hash") === target).count() == 1L)
   }
 
+  test("prunedByHash returns an empty typed frame (not a throw) on a definitive miss") {
+    val t = freshTable("prune-miss")
+    t.append(hashDf(0, 200).repartitionByRange(4, col("url_hash"))
+      .sortWithinPartitions("url_hash"))
+    val maxH = t.read().agg(max("url_hash")).head().getLong(0)
+    // a hash above every file's [min,max]: pruning eliminates ALL files —
+    // must come back as an empty frame with the table's schema so the
+    // probe-url CLI reports a miss instead of crashing
+    val miss = t.prunedByHash(maxH + 1)
+    assert(miss.count() == 0L)
+    assert(miss.columns.contains("url_hash"))
+  }
+
+  test("readBetween is a version-pinned delta read; dropDirsWhere reclaims drained dirs") {
+    val t = freshTable("delta")
+    t.append(hashDf(0, 100))        // v0
+    t.amendCounters(Map("m" -> 1L)) // v1: marker-only
+    t.append(hashDf(100, 150), Map("m" -> 2L)) // v2
+    assert(t.readBetween(-1, 0).get.count() == 100L)
+    assert(t.readBetween(0, 1).isEmpty, "marker-only delta must be None")
+    assert(t.readBetween(0, 2).get.count() == 50L)
+    // the delta read lists ONLY v2's dir — O(new batches), not O(all-ever)
+    assert(t.readBetween(0, 2).get.inputFiles.forall(_.contains("/data/s2-")),
+      "delta read touched base dirs")
+    assert(t.dirVersion("data/s2-abc") == 2)
+    // inbox reclaim: drop v0's dir from the live snapshot (metadata-only);
+    // pinned time travel still sees it because no file was deleted
+    assert(t.dropDirsWhere(d => t.dirVersion(d) <= 0).nonEmpty)
+    assert(t.read().count() == 50L)
+    assert(t.readAt(2).count() == 150L)
+    assert(t.currentSnapshot.get.counters.get("m").contains(2L), "counters carried")
+    assert(t.dropDirsWhere(d => t.dirVersion(d) <= 0).isEmpty, "second drop is a no-op")
+    // once every snapshot referencing the dropped dir expires, the files go
+    t.append(hashDf(150, 160)) // v4 (drop committed v3)
+    t.expire(keepLast = 2)     // retains v3, v4 — neither references s0
+    val dataDirs = Files.list(Paths.get(t.root, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!dataDirs.exists(_.startsWith("s0-")), s"s0 dir survived expiry: $dataDirs")
+    assert(t.read().count() == 60L)
+  }
+
   test("expire bounds metadata and data dirs; current snapshot stays readable") {
     val t = freshTable("expire")
     (0 until 12).foreach(i => t.replace(hashDf(i * 10L, i * 10L + 10)))

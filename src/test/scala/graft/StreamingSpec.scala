@@ -229,6 +229,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(sC == sB, "concurrent-intake seen set differs from the alternating-batch twin")
   }
 
+  test("crashed drain replays even after the inbox advances past the crash version; " +
+      "intake reclaims drained inbox dirs") {
+    import spark.implicits._
+    val cfg = graft.synth.Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 4)
+    val docs = spark.createDataset(graft.synth.Corpus.generate(cfg)).toDF()
+    val rules = graft.synth.Corpus.robotsRules(cfg)
+    val seedA = "http://site1.example.org/p/0"
+    val seedB = "http://site3.example.org/p/0"
+    val seedC = "http://site2.example.org/p/0"
+    val root = java.nio.file.Files.createTempDirectory("graft-crashdrain").toString
+    def entries(u: String, host: String, seq: Int) =
+      Seq((u, graft.functions.UrlOps.urlHash64(u), host, 0, 0L, seq))
+        .toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index")
+    def jobCfg(w: Int) = CrawlJob.Config(Seq(seedA), hostBudget = 3, maxWaves = w,
+      numPartitions = 2, saltBuckets = 2, bloomItems = 100000L)
+    CrawlJob.run(spark, docs, rules, jobCfg(2), root)
+    val t = CrawlJob.tables(root, spark)
+    // intake enqueues seed B (inbox vB)...
+    StreamOps.enqueueSeedBatch(t.inbox)(entries(seedB, "site3.example.org", 0), 0L)
+    val vB = t.inbox.currentVersion
+    // ...a drain crashes in its window: the SEEN append landed (tagged
+    // with the drain version, no wave counter), the frontier append did
+    // not — exactly drainStep's partial-commit state
+    t.seen.append(
+      entries(seedB, "site3.example.org", 0)
+        .select(col("url_hash"), col("url"), lit(0).as("wave")),
+      Map("intake_drain_v" -> vB.toLong))
+    // ...and the always-on intake then advances the inbox PAST the crash
+    // version (the case a curV-only replay match silently strands seed B
+    // in the seen set forever)
+    StreamOps.enqueueSeedBatch(t.inbox)(entries(seedC, "site2.example.org", 1), 1L)
+    assert(t.inbox.currentVersion > vB)
+    // resume: the first wave boundary must replay the crashed drain AND
+    // drain the newer batch
+    CrawlJob.run(spark, docs, rules, jobCfg(64), root)
+    val visited = CrawlJob.visitOrder(spark, root, 2).select("url")
+      .collect().map(_.getString(0))
+    assert(visited.contains(seedB), "crashed-drain seed B was never crawled")
+    assert(visited.contains(seedC), "post-crash intake seed C was never crawled")
+    // exactly once: the replay re-derived the same admitted set instead of
+    // duplicating or dropping it (the frontier itself drains to empty, so
+    // the visit log and the seen table are the durable witnesses)
+    assert(visited.count(_ == seedB) == 1)
+    assert(t.seen.read().filter(col("url") === seedB).count() == 1L)
+    val drained = t.frontier.currentSnapshot.get.counters("intake_drained")
+    assert(drained >= t.inbox.snapshots.filter(_.dataDirs.nonEmpty).map(_.version).max)
+    // intake-side reclaim: with those drains landed, the next enqueue
+    // drops the drained batch dirs from the live inbox snapshot
+    StreamOps.enqueueSeedBatch(t.inbox, Some(t.frontier))(
+      entries("http://site0.example.org/p/1", "site0.example.org", 2), 2L)
+    val live = t.inbox.currentSnapshot.get.dataDirs
+    assert(live.nonEmpty && live.forall(d => t.inbox.dirVersion(d) > drained),
+      s"drained dirs not reclaimed: $live (drained=$drained)")
+  }
+
   test("enqueueSeedBatch is idempotent and drainInbox survives a marker-only inbox") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-enq-idem").toString
