@@ -65,13 +65,14 @@ object Bench {
     * carries WHERE the time went — a contended host window shows up as
     * uniformly inflated steps, an engine regression as one step growing. */
   private def runCrawl(spark: SparkSession, cfg: Corpus.Config, cpus: Int, tag: String,
-      hostBudget: Int = 2048, virtualClock: Boolean = false): (Double, Long, Map[String, Double]) = {
+      hostBudget: Int = 2048, virtualClock: Boolean = false,
+      maxWaves: Int = 40): (Double, Long, Map[String, Double]) = {
     val docs = spark.read.parquet(corpusPath(spark, cfg)).persist()
     docs.count() // the corpus is the simulated web: resident, like a warm page cache
     val root = Files.createTempDirectory(s"graft-bench-$tag").toString
     val jobCfg = CrawlJob.Config(
       seeds = Seq(Corpus.pageUrl(cfg, 0, 0), Corpus.pageUrl(cfg, 1, 0)),
-      onDomain = false, hostBudget = hostBudget, maxWaves = 40,
+      onDomain = false, hostBudget = hostBudget, maxWaves = maxWaves,
       numPartitions = cpus, saltBuckets = math.max(4, cpus / 2),
       virtualClock = virtualClock)
     val steps = new java.util.concurrent.ConcurrentHashMap[String, Double]()
@@ -154,6 +155,24 @@ object Bench {
     val joined1mRate = ju6 / jw6
     spark.catalog.clearCache()
 
+    // relational + operator battery timings: warm runs (min of 2) — the
+    // first execution of a hash-heavy codegen unit pays one-time JIT cost
+    // an engine-throughput number should not include. The battery runs
+    // BEFORE the crawls: a 40-wave crawl churns the heap and its GC
+    // debris inflated every battery number ~8x in the round-4 window
+    // where the battery ran last.
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
+    }
+    spark.catalog.clearCache()
+
     // secondary: end-to-end crawl incl. checkpoints. Best-of-2 with every
     // rep + its per-step totals emitted: round 3's single sample (322
     // urls/s in a contended window) nearly read as a 4x regression when
@@ -169,26 +188,15 @@ object Bench {
     // contended-politeness regime: hostBudget 4 + virtual clock — the
     // per-host windows and cross-wave carryover ON the clock (the 2048
     // row barely exercises them), and the first perf number for the r3
-    // virtual-clock path
+    // virtual-clock path. Capped at 10 waves: per-wave cost at budget 4
+    // is commit-tail-constant (~19 s/wave measured), so 10 waves give the
+    // same urls/s as 40 at a quarter of the bench wall.
+    val tightWaves = 10
     val (tw, tu, tsteps) = runCrawl(spark, cfg, cpus, s"tight$cpus",
-      hostBudget = 4, virtualClock = true)
+      hostBudget = 4, virtualClock = true, maxWaves = tightWaves)
     val crawlStats =
-      s""""crawl_wall_sec":$cw,"crawl_urls":$cu,"crawl_urls_per_sec":${cu / cw},"crawl_reps":$crawlRepsJson,"crawl_tight_budget":4,"crawl_tight_wall_sec":$tw,"crawl_tight_urls":$tu,"crawl_tight_urls_per_sec":${tu / tw},"crawl_tight_steps":${stepsJson(tsteps)}"""
+      s""""crawl_wall_sec":$cw,"crawl_urls":$cu,"crawl_urls_per_sec":${cu / cw},"crawl_reps":$crawlRepsJson,"crawl_tight_budget":4,"crawl_tight_waves":$tightWaves,"crawl_tight_wall_sec":$tw,"crawl_tight_urls":$tu,"crawl_tight_urls_per_sec":${tu / tw},"crawl_tight_steps":${stepsJson(tsteps)}"""
     spark.catalog.clearCache()
-
-    // relational + operator battery timings: warm runs (min of 2) — the
-    // first execution of a hash-heavy codegen unit pays one-time JIT cost
-    // an engine-throughput number should not include
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(once(), once())
-    }
 
     // best-of-3 per level: rep variance on a shared VM (GC + host
     // contention) is high; best-of isolates the engine's capability.
