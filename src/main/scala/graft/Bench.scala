@@ -111,8 +111,10 @@ object Bench {
 
     val spark = session(cpus)
     // Phase order matters: the kernel headline runs first in a clean
-    // heap; the query battery (which churns caches) runs last. Caches are
-    // dropped between phases.
+    // heap; the query battery runs BEFORE the crawls (a 40-wave crawl
+    // churns the heap and inflated every battery number ~8x when the
+    // battery ran last — round-4 window); the crawls run last. Caches
+    // are dropped between phases.
 
     // headline: kernel throughput (warm-up pass then best of 3 — JIT and
     // shared-VM variance dominate rep 1; best-of measures the engine).

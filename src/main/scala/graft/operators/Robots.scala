@@ -178,21 +178,4 @@ object Robots {
     }
   }
 
-  /** Join-based longest-prefix match for rule sets too large for the
-    * driver: broadcast the rules, keep the longest matching prefix per URL
-    * via max_by, allow URLs with no matching rule. Returns df filtered to
-    * allowed rows (same semantics as [[compile]]). */
-  def robotsJoin(df: org.apache.spark.sql.DataFrame, rulesDf: org.apache.spark.sql.DataFrame,
-      hostCol: String, pathCol: String): org.apache.spark.sql.DataFrame = {
-    val joined = df.join(broadcast(rulesDf),
-      df(hostCol) === rulesDf("host") && startswith(df(pathCol), rulesDf("path_prefix")),
-      "left_outer")
-    val keys = df.columns.map(df(_))
-    joined
-      .groupBy(keys: _*)
-      .agg(max_by(coalesce(col("allow"), lit(true)),
-        coalesce(length(col("path_prefix")), lit(-1))).as("__allow"))
-      .filter(col("__allow"))
-      .drop("__allow")
-  }
 }

@@ -66,10 +66,10 @@ object StateIO {
 
   private def hasScheme(path: String): Boolean = {
     // a URI scheme per RFC 3986 (alpha followed by alnum/+/-/.) then "://"
+    // (i > 0 guards charAt(0): an empty/scheme-less path routes to Nio)
     val i = path.indexOf("://")
-    i > 0 && path.substring(0, i).forall(c =>
-      c.isLetterOrDigit || c == '+' || c == '-' || c == '.') &&
-      path.head.isLetter
+    i > 0 && path.charAt(0).isLetter && path.substring(0, i).forall(c =>
+      c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
   }
 
   /** Local-filesystem impl — the previous direct-java.nio behavior. */
