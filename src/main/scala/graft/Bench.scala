@@ -3,6 +3,7 @@ package graft
 import graft.model.{RobotsRule, WaveMetrics}
 import graft.operators.FrontierKernel
 import graft.plans.CrawlJob
+import graft.streaming.StreamOps
 import graft.synth.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -89,6 +90,51 @@ object Bench {
     (wall, urls, steps.asScala.toMap)
   }
 
+  /** Concurrent-intake admission latency (VERDICT r4 #8): the reference's
+    * one observable quality is accepting a crawl request WHILE a crawl
+    * runs (Init returns, the crawl goroutine continues — crawler.go:63-67).
+    * Measured here: after wave `enqAfter` commits, a probe seed is
+    * enqueued into the durable inbox through the REAL intake sink
+    * ([[StreamOps.enqueueSeedBatch]]); the loop drains the inbox at the
+    * next wave boundary, so the probe must be scheduled in wave
+    * enqAfter+1. The probe is off-corpus (no links reach it, the fetch is
+    * a miss) so discovery can't race the measurement. Returns
+    * (waves-to-admission — 1 when drained at the first boundary — and
+    * wall seconds from enqueue to the end of the wave that scheduled it). */
+  private def intakeLatency(spark: SparkSession, cfg: Corpus.Config,
+      cpus: Int): (Long, Double) = {
+    import spark.implicits._
+    val docs = spark.read.parquet(corpusPath(spark, cfg)).persist()
+    docs.count()
+    val root = Files.createTempDirectory("graft-bench-intake").toString
+    val t = CrawlJob.tables(root, spark)
+    val probe = "http://intake-probe.example.org/p/0"
+    val enqAfter = 2
+    @volatile var tEnq = 0L
+    val waveEnds = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobCfg = CrawlJob.Config(
+      seeds = Seq(Corpus.pageUrl(cfg, 0, 0), Corpus.pageUrl(cfg, 1, 0)),
+      onDomain = false, hostBudget = 2048, maxWaves = 40,
+      numPartitions = cpus, saltBuckets = math.max(4, cpus / 2),
+      onWaveEnd = w => {
+        waveEnds.put(w, System.nanoTime())
+        if (w == enqAfter) {
+          val entry = Seq((probe, graft.functions.UrlOps.urlHash64(probe),
+              "intake-probe.example.org", 0, 0L, 0))
+            .toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index")
+          StreamOps.enqueueSeedBatch(t.inbox)(entry, 0L)
+          tEnq = System.nanoTime()
+        }
+      })
+    CrawlJob.run(spark, docs, Corpus.robotsRules(cfg), jobCfg, root)
+    docs.unpersist()
+    val fetchWave = t.visits.read().filter(col("url") === probe)
+      .select(col("wave")).head().getInt(0)
+    val latWaves = fetchWave.toLong - enqAfter
+    val latSec = (waveEnds.get(fetchWave) - tEnq) / 1e9
+    (latWaves, latSec)
+  }
+
   private def stepsJson(steps: Map[String, Double]): String =
     steps.toSeq.sortBy(_._1)
       // Locale.ROOT: the default-locale f-interpolator renders 0.42 as
@@ -157,6 +203,20 @@ object Bench {
     val joined1mRate = ju6 / jw6
     spark.catalog.clearCache()
 
+    // virtual-clock politeness regime: a 10^4-host clock takes the
+    // BROADCAST state joins, a 10^6-host clock crosses
+    // Robots.MaxBroadcastHosts and takes the SHUFFLE-HASH joins (round-5
+    // cutover) — the pair measures the no-O(hosts)-broadcast shape at the
+    // mature-crawl design point where clock hosts ≫ wave hosts
+    val (kw4, ku4) = BenchKernelRunner.runClocked(spark, seen10N, cpus,
+      clockHosts = 10000, hint = 10000)
+    val clockBcastRate = ku4 / kw4
+    spark.catalog.clearCache()
+    val (kw6, ku6) = BenchKernelRunner.runClocked(spark, seen10N, cpus,
+      clockHosts = 1000000, hint = 1000000)
+    val clockShuffleRate = ku6 / kw6
+    spark.catalog.clearCache()
+
     // relational + operator battery timings: warm runs (min of 2) — the
     // first execution of a hash-heavy codegen unit pays one-time JIT cost
     // an engine-throughput number should not include. The battery runs
@@ -200,6 +260,13 @@ object Bench {
       s""""crawl_wall_sec":$cw,"crawl_urls":$cu,"crawl_urls_per_sec":${cu / cw},"crawl_reps":$crawlRepsJson,"crawl_tight_budget":4,"crawl_tight_waves":$tightWaves,"crawl_tight_wall_sec":$tw,"crawl_tight_urls":$tu,"crawl_tight_urls_per_sec":${tu / tw},"crawl_tight_steps":${stepsJson(tsteps)}"""
     spark.catalog.clearCache()
 
+    // concurrent-intake admission latency (reference's accept-while-
+    // crawling quality): waves should be exactly 1 (next-boundary drain)
+    val (intakeWaves, intakeSec) = intakeLatency(spark, cfg, cpus)
+    val intakeStats =
+      s""""intake_enqueue_after_wave":2,"intake_latency_waves":$intakeWaves,"intake_latency_sec":${"%.2f".formatLocal(java.util.Locale.ROOT, intakeSec)}"""
+    spark.catalog.clearCache()
+
     // best-of-3 per level: rep variance on a shared VM (GC + host
     // contention) is high; best-of isolates the engine's capability.
     def bestRate(s: SparkSession, cpus: Int): Double = {
@@ -225,6 +292,6 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"kernel_joined_robots_1m_hosts":1000000,"kernel_joined_robots_1m_urls_per_sec":$joined1mRate,"queries":$qs,$crawlStats$scaling,"sf":"$sfDir"}""")
+      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"kernel_joined_robots_1m_hosts":1000000,"kernel_joined_robots_1m_urls_per_sec":$joined1mRate,"kernel_clock_10k_hosts_urls_per_sec":$clockBcastRate,"kernel_clock_1m_hosts_urls_per_sec":$clockShuffleRate,"queries":$qs,$crawlStats,$intakeStats$scaling,"sf":"$sfDir"}""")
   }
 }

@@ -75,6 +75,37 @@ object BenchKernelRunner {
         (pmod(col("id"), lit(4)) =!= 3).as("allow"),
         when(col("id") === 0, lit(2)).otherwise(lit(1)).as("crawl_delay"))
 
+  /** Virtual-clock politeness pass at a given clock-table size — the
+    * mature-crawl regime where the clock (one next_ts row per host EVER
+    * fetched) dwarfs the wave's own hosts. `hint` past
+    * [[graft.operators.Robots.MaxBroadcastHosts]] drives the shuffle-hash
+    * state joins (round-5 cutover); a small hint keeps the broadcast
+    * shape — the pair measures what the no-O(hosts)-broadcast shape
+    * costs. ticksPerWave is large so every host is under budget: the
+    * timed work is the state-join machinery itself, not window sorting. */
+  def runClocked(spark: SparkSession, n: Long, cpus: Int, clockHosts: Long,
+      hint: Long): (Double, Long) = {
+    val parts = cpus * 2
+    val frontier = frontierDf(spark, n, parts).persist()
+    frontier.count()
+    val clock = spark.range(0, clockHosts, 1, parts)
+      .select(concat(lit("h"), col("id"), lit(".example.org")).as("host"),
+        pmod(col("id"), lit(3)).as("next_ts"))
+      .persist()
+    clock.count()
+    val policy = graft.operators.Robots.Compiled(benchRules)
+    val t0 = System.nanoTime()
+    val budgeter = graft.operators.Politeness.clockedBudgeter(
+      policy, clock, wave = 0, ticksPerWave = 1 << 26, clockHosts = hint)
+    val (fetch, defer) = graft.operators.Politeness.selectWith(
+      frontier, budgeter, saltBuckets = cpus * 2, hostsHint = hint)
+    val urls = fetch.count() + defer.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    frontier.unpersist()
+    clock.unpersist()
+    (wall, urls)
+  }
+
   /** One kernel pass; returns (wallSec, urlsProcessed = scheduled+deduped).
     * Inputs AND the seen-state bootstrap (bucket pieces + filters) are
     * materialized outside the clock — they are amortized crawl state.

@@ -42,22 +42,33 @@ object ClusterScale {
     s
   }
 
+  /** Returns (per-rep rates, registered executor count). Fails fast if
+    * the executor JVMs don't all register within the deadline — an
+    * under-provisioned level silently corrupts the N-vs-4N comparison
+    * (round-4 advice), so an invalid level is an error, not a number. */
   private def level(execs: Int, cores: Int, memMb: Int, n: Long,
-      reps: Int): Seq[Double] = {
+      reps: Int): (Seq[Double], Int) = {
     val spark = session(execs, cores, memMb)
     try {
-      // wait until every executor JVM has registered, else rep 1 runs
-      // under-provisioned and the pair is not a controlled comparison
       val deadline = System.nanoTime() + 120e9.toLong
       while (spark.sparkContext.getExecutorMemoryStatus.size - 1 < execs &&
         System.nanoTime() < deadline) Thread.sleep(500)
+      val registered = spark.sparkContext.getExecutorMemoryStatus.size - 1
+      require(registered >= execs,
+        s"only $registered/$execs executors registered within 120s — " +
+          "level would run under-provisioned; aborting instead of emitting " +
+          "an uncontrolled comparison")
       val totalCores = execs * cores
-      BenchKernelRunner.run(spark, math.min(n / 4, 1000000L), totalCores) // warmup/JIT
-      (1 to reps).map { i =>
+      // warmup: a 1M-row pass was too small to finish JIT-compiling the
+      // kernel at n=64M (round-4/5 rep-1 outliers); a quarter-sized pass
+      // leaves the steady-state code paths hot at every level
+      BenchKernelRunner.run(spark, math.max(n / 4, 1000000L), totalCores)
+      val rates = (1 to reps).map { i =>
         val (w, u) = BenchKernelRunner.run(spark, n, totalCores)
         System.err.println(f"[cluster-scale] execs=$execs rep=$i wall=$w%.1fs rate=${u / w}%.0f/s")
         u / w
       }
+      (rates, registered)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -67,22 +78,36 @@ object ClusterScale {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 64000000L
-    val reps = if (args.length > 1) args(1).toInt else 3
+    // reps < 3 produced the round-4 0.21 window artifact (a 2-rep high
+    // level still JIT-climbing); the protocol now enforces its own floor
+    val reps = math.max(3, if (args.length > 1) args(1).toInt else 3)
     val lowExecs = if (args.length > 2) args(2).toInt else 2
     val cores = if (args.length > 3) args(3).toInt else 4
     val memMb = if (args.length > 4) args(4).toInt else 5120
     val highExecs = lowExecs * 4
 
-    val lowRates = level(lowExecs, cores, memMb, n, reps)
-    val highRates = level(highExecs, cores, memMb, n, reps)
+    val (lowRates, lowReg) = level(lowExecs, cores, memMb, n, reps)
+    val (highRates, highReg) = level(highExecs, cores, memMb, n, reps)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length / 2
+      if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2
+    }
     val lowBest = lowRates.max
     val highBest = highRates.max
     val eff = (highBest / lowBest) / 4.0
-    def arr(xs: Seq[Double]) = xs.map(r => f"$r%.0f").mkString("[", ",", "]")
+    // median-based efficiency reported alongside best-of: on a shared box
+    // best-of can pick one lucky window per level (round-4 advice asked
+    // for a variance-honest estimator next to the headline)
+    val effMed = (median(highRates) / median(lowRates)) / 4.0
+    // locale-pinned formatting: JSON must not pick up comma decimals or
+    // non-Latin digits from the host locale (matches Bench.stepsJson)
+    import java.util.Locale.ROOT
+    def num(d: Double, fmt: String) = fmt.formatLocal(ROOT, d)
+    def arr(xs: Seq[Double]) = xs.map(num(_, "%.0f")).mkString("[", ",", "]")
     println(
-      s"""{"mode":"local-cluster","kernel_n":$n,"cores_per_executor":$cores,"executor_mem_mb":$memMb,""" +
-      s""""low_executors":$lowExecs,"low_rates":${arr(lowRates)},"low_best_urls_per_sec":${lowBest.toLong},""" +
-      s""""high_executors":$highExecs,"high_rates":${arr(highRates)},"high_best_urls_per_sec":${highBest.toLong},""" +
-      s""""efficiency_n_to_4n":${f"$eff%.3f"}}""")
+      s"""{"mode":"local-cluster","kernel_n":$n,"cores_per_executor":$cores,"executor_mem_mb":$memMb,"reps_per_level":$reps,""" +
+      s""""low_executors":$lowExecs,"low_registered":$lowReg,"low_rates":${arr(lowRates)},"low_best_urls_per_sec":${lowBest.toLong},"low_median_urls_per_sec":${median(lowRates).toLong},""" +
+      s""""high_executors":$highExecs,"high_registered":$highReg,"high_rates":${arr(highRates)},"high_best_urls_per_sec":${highBest.toLong},"high_median_urls_per_sec":${median(highRates).toLong},""" +
+      s""""efficiency_n_to_4n":${num(eff, "%.3f")},"efficiency_median":${num(effMed, "%.3f")}}""")
   }
 }

@@ -107,6 +107,27 @@ object PlanDump {
       } finally { packed.unpersist(); () }
     }
 
+    // Politeness per-host STATE joins past the host cutover (round 5):
+    // the virtual-clock table and the contended-host tag join by
+    // SHUFFLE-HASH on host, so at the 10^7–10^8-host regime no O(hosts)
+    // per-host state is ever broadcast or re-shipped per wave.
+    val politenessShufflePlan = {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val frontier = BenchKernelRunner.frontierDf(spark, 5000, 4)
+      val policy = operators.Robots.Compiled(BenchKernelRunner.benchRules)
+      val clock = spark.range(0, 100)
+        .select(concat(lit("h"), col("id"), lit(".example.org")).as("host"),
+          col("id").as("next_ts"))
+      val over = operators.Robots.MaxBroadcastHosts + 1
+      val (fetch, _) = operators.Politeness.selectWith(
+        frontier,
+        operators.Politeness.clockedBudgeter(policy, clock, wave = 1,
+          ticksPerWave = 4, clockHosts = over),
+        saltBuckets = 4, hostsHint = over)
+      fetch.collect() // force the final AQE plan
+      fetch.queryExecution.explainString(FormattedMode)
+    }
+
     val sections: Seq[(String, String, String)] = Seq(
       ("q1_agg — filter pushdown + column pruning",
         "The shipdate filter reaches the parquet scan (PushedFilters) and " +
@@ -151,6 +172,16 @@ object PlanDump {
           "(PlanShapeSpec asserts this plan shape; RobotsScaleSpec proves " +
           "decision-identity with the broadcast path at 10^5 hosts).",
         robotsShufflePlan),
+      ("politeness state joins past the host cutover — shuffle-hash, no O(hosts) broadcast",
+        "Above Robots.MaxBroadcastHosts (2^16) distinct frontier hosts, " +
+          "BOTH per-host politeness state joins — the virtual-clock table " +
+          "(one next_ts row per host ever fetched) and the contended-host " +
+          "tag set — flip from broadcast to ShuffledHashJoin on host " +
+          "(Politeness.hostStateJoin), the same cutover the robots rules " +
+          "join uses. At the 10^7-host regime nothing O(hosts) is shipped " +
+          "per wave; below the cutover the small-state broadcast shape is " +
+          "kept (PlanShapeSpec asserts both shapes).",
+        politenessShufflePlan),
       ("d5_embedding_neardup — bucket-blocked self-join",
         "The pair join is an equi-join on the SRP bucket key (SortMergeJoin/" +
           "ShuffledHashJoin on bucket), not a cartesian product.",

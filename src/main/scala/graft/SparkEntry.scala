@@ -52,6 +52,8 @@ object SparkEntry {
     "x1_analyze_autocomplete" -> (AnalyzerOps.analyzeAutocomplete _),
     "x2_analyze_standard" -> (AnalyzerOps.analyzeStandard _),
     "x3_analyze_english_stop" -> (AnalyzerOps.analyzeEnglishStop _),
+    "x4_analyzed_fields" -> (AnalyzerOps.analyzedFields _),
+    "x5_porter_stems" -> (AnalyzerOps.porterStems _),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +96,7 @@ object SparkEntry {
     "x1_analyze_autocomplete" -> AnalyzerOps.analyzeAutocompleteSql,
     "x2_analyze_standard" -> AnalyzerOps.analyzeStandardSql,
     "x3_analyze_english_stop" -> AnalyzerOps.analyzeEnglishStopSql,
+    "x4_analyzed_fields" -> AnalyzerOps.analyzedFieldsSql,
+    "x5_porter_stems" -> AnalyzerOps.porterStemsSql,
   )
 }

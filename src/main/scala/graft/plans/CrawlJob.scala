@@ -513,6 +513,18 @@ object CrawlJob {
     }
     val nDeferred = frontierSize - nFetch
 
+    // delta-mode consumed markers only need the cached fetchSet, so the
+    // write overlaps the whole expansion + seen phase instead of sitting
+    // in the commit tail; awaited (like every wave append) before the
+    // frontier commit marker, and wave-tagged so the resume trim rolls it
+    // back if that marker never lands.
+    val consumedF: Future[Unit] =
+      if (deltaMode && !compactCadence && nFetch > 0) Future {
+        t.consumed.append(
+          fetchSet.select(col("url_hash")).repartition(p, col("url_hash")),
+          Map("wave" -> wave.toLong))
+      } else Future.successful(())
+
     // Main-path work between the fork and the join: guarded so a failure
     // NEVER orphans the sink jobs — the futures are awaited on both paths
     // before control leaves this wave.
@@ -654,6 +666,7 @@ object CrawlJob {
       case e: Throwable =>
         scala.util.Try(Await.ready(docSinks, Duration.Inf))
         scala.util.Try(Await.ready(visitsF, Duration.Inf))
+        scala.util.Try(Await.ready(consumedF, Duration.Inf))
         throw e
     }
     val nDedup = nCand - nNewSeen
@@ -668,6 +681,10 @@ object CrawlJob {
     mark("docs_await")
     Await.result(visitsF, Duration.Inf)
     mark("visits_await")
+    // consumed markers durable before any branch below touches the
+    // consumed table (replaceEmpty on drain/compaction) or lands the
+    // frontier commit marker
+    Await.result(consumedF, Duration.Inf)
     val metrics = WaveMetrics(wave, nHits, nDeferred, nRobots, nDedup, nMiss, nRetried)
     // the intake high-water mark must ride EVERY frontier commit — a
     // commit that dropped it would make the next boundary re-drain (and,
@@ -693,12 +710,10 @@ object CrawlJob {
       if (consumedLive) t.consumed.replaceEmpty(Map("wave" -> wave.toLong))
     } else {
       // delta commit: O(wave) IO — consumed markers for this wave's
-      // fetches land first (the resume trim rolls them back if the marker
-      // below never lands), then the admitted rows carry the counters as
-      // the wave's commit marker. Deferred rows are not rewritten.
-      t.consumed.append(
-        fetchSet.select(col("url_hash")).repartition(p, col("url_hash")),
-        Map("wave" -> wave.toLong))
+      // fetches landed first (appended concurrently above, awaited; the
+      // resume trim rolls them back if the marker below never lands),
+      // then the admitted rows carry the counters as the wave's commit
+      // marker. Deferred rows are not rewritten.
       if (nAdmitted > 0)
         t.frontier.append(
           admittedRows.repartition(nextP, col("url_hash")), counters)

@@ -177,6 +177,77 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("the", "dog's", "is", "here"))
   }
 
+  // ---- field-level mapping application (x4/x5 support) ----------------------
+
+  test("fieldSpecs parses the reference english mapping's field schema") {
+    val specs = AnalyzerOps.fieldSpecs(refMapping("english"))
+    val byPath = specs.map(s => s.path -> s).toMap
+    assert(byPath("uri").fieldType == "keyword")
+    assert(byPath("uri").analyzer.isEmpty)
+    for (p <- Seq("meta.title", "meta.description", "meta.keywords",
+        "source.h1", "source.h2", "source.h3", "source.h4", "source.p")) {
+      assert(byPath(p).fieldType == "text", p)
+      assert(byPath(p).analyzer.contains("english"), p)
+      assert(byPath(p).searchAnalyzer.contains("standard"), p)
+    }
+    // ogimage is text with NO analyzer → ES default (standard)
+    assert(byPath("meta.ogimage").fieldType == "text")
+    assert(byPath("meta.ogimage").analyzer.isEmpty)
+    assert(specs.size == 10)
+  }
+
+  test("resolveAnalyzer: field name 'english' resolves to the file's rebuilt_english") {
+    val parsed = AnalyzerOps.fromMappingJson(refMapping("english"))
+    val a = AnalyzerOps.resolveAnalyzer(Some("english"), parsed)
+    assert(a == parsed("rebuilt_english"))
+    // absent analyzer → ES default standard; unknown name → standard
+    assert(AnalyzerOps.resolveAnalyzer(None, parsed) == standard)
+    assert(AnalyzerOps.resolveAnalyzer(Some("nope"), parsed) == standard)
+  }
+
+  test("x4: parsed mapping drives per-field chains (english idx, standard search)") {
+    val x4 = AnalyzerOps.analyzedFields(spark, "/root/testdata/sf0.001")
+    assert(x4.columns.toSeq == Seq("doc_id", "uri", "title_idx",
+      "description_idx", "keywords_idx", "ogimage_idx", "h1_idx", "p_idx",
+      "title_search"))
+    val r = x4.limit(50).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // uri is keyword: passes through unanalyzed
+      assert(row.getAs[String]("uri").startsWith("http://www."))
+      // ogimage (no analyzer) ran standard: lowercased tokens incl. stops
+      assert(row.getAs[String]("ogimage_idx").startsWith("http img src"))
+      // title_search (standard) keeps stopwords that title_idx (english)
+      // drops, and never stems — so it equals the standard chain output
+      val t = row.getAs[String]("title_search")
+      assert(!t.contains("'"))
+    }
+    // spot-check: english index chain stems, standard search chain does not
+    import spark.implicits._
+    val one = Seq((0L, "the tables are merging")).toDF("doc_id", "text")
+      .select(
+        concat_ws(" ", AnalyzerOps.analyze(col("text"), english)).as("idx"),
+        concat_ws(" ", AnalyzerOps.analyze(col("text"), standard)).as("search"))
+      .head()
+    assert(one.getString(0) == "tabl merg")
+    assert(one.getString(1) == "the tables are merging")
+  }
+
+  test("x5 golden vectors: every frozen (word, stem) matches the live stemmer") {
+    val golden = AnalyzerOps.goldenStems
+    assert(golden.size == 558)
+    golden.foreach { case (w, st) =>
+      assert(TextAnalysis.porterStem(w) == st, s"golden drift at $w")
+    }
+    // and the golden covers exactly vocabulary × suffix ladder at sf0.001
+    val vocab = AnalyzerOps.analyzeStandard(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("tokens"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val expected = for (t <- vocab; s <- AnalyzerOps.StemSuffixes) yield t + s
+    assert(expected.subsetOf(golden.map(_._1).toSet),
+      s"vocabulary drifted outside the frozen golden: ${expected.diff(golden.map(_._1).toSet).take(5)}")
+  }
+
   // ---- gated-query smoke over the sf0.001 testdata --------------------------
 
   test("x1/x2/x3 analyzer queries run and agree on token accounting") {
