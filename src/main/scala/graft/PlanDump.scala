@@ -113,19 +113,27 @@ object PlanDump {
     // per-host state is ever broadcast or re-shipped per wave.
     val politenessShufflePlan = {
       import org.apache.spark.sql.functions.{col, concat, lit}
-      val frontier = BenchKernelRunner.frontierDf(spark, 5000, 4)
-      val policy = operators.Robots.Compiled(BenchKernelRunner.benchRules)
-      val clock = spark.range(0, 100)
-        .select(concat(lit("h"), col("id"), lit(".example.org")).as("host"),
-          col("id").as("next_ts"))
-      val over = operators.Robots.MaxBroadcastHosts + 1
-      val (fetch, _) = operators.Politeness.selectWith(
-        frontier,
-        operators.Politeness.clockedBudgeter(policy, clock, wave = 1,
-          ticksPerWave = 4, clockHosts = over),
-        saltBuckets = 4, hostsHint = over)
-      fetch.collect() // force the final AQE plan
-      fetch.queryExecution.explainString(FormattedMode)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val frontier = BenchKernelRunner.frontierDf(spark, 5000, 4)
+        val policy = operators.Robots.Compiled(BenchKernelRunner.benchRules)
+        val clock = spark.range(0, 100)
+          .select(concat(lit("h"), col("id"), lit(".example.org")).as("host"),
+            col("id").as("next_ts"))
+        val over = operators.Robots.MaxBroadcastHosts + 1
+        val (fetch, _) = operators.Politeness.selectWith(
+          frontier,
+          operators.Politeness.clockedBudgeter(policy, clock, wave = 1,
+            ticksPerWave = 4, clockHosts = over),
+          saltBuckets = 4, hostsHint = over)
+        fetch.collect() // force the final AQE plan
+        fetch.queryExecution.explainString(FormattedMode)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
 
     val sections: Seq[(String, String, String)] = Seq(
@@ -172,15 +180,18 @@ object PlanDump {
           "(PlanShapeSpec asserts this plan shape; RobotsScaleSpec proves " +
           "decision-identity with the broadcast path at 10^5 hosts).",
         robotsShufflePlan),
-      ("politeness state joins past the host cutover — shuffle-hash, no O(hosts) broadcast",
+      ("politeness state joins past the host cutover — no hardcoded broadcast",
         "Above Robots.MaxBroadcastHosts (2^16) distinct frontier hosts, " +
           "BOTH per-host politeness state joins — the virtual-clock table " +
           "(one next_ts row per host ever fetched) and the contended-host " +
-          "tag set — flip from broadcast to ShuffledHashJoin on host " +
-          "(Politeness.hostStateJoin), the same cutover the robots rules " +
-          "join uses. At the 10^7-host regime nothing O(hosts) is shipped " +
-          "per wave; below the cutover the small-state broadcast shape is " +
-          "kept (PlanShapeSpec asserts both shapes).",
+          "tag set — drop the broadcast() call (Politeness.hostStateJoin, " +
+          "same cutover as the robots rules join). This dump runs with " +
+          "size-based broadcast disabled so any BroadcastExchange would be " +
+          "a hardcoded one: there is none. In production AQE may still " +
+          "broadcast a side that MEASURES small at runtime (a sparse " +
+          "contended set) — by size, never O(hosts) by construction " +
+          "(PlanShapeSpec asserts both the cutover and the below-cutover " +
+          "broadcast shape).",
         politenessShufflePlan),
       ("d5_embedding_neardup — bucket-blocked self-join",
         "The pair join is an equi-join on the SRP bucket key (SortMergeJoin/" +

@@ -317,6 +317,37 @@ class CrawlEquivalenceSpec extends AnyFunSuite {
     assertEquivalent(o, root, m1 ++ m2)
   }
 
+  test("crash with consumed markers committed but frontier marker not: resume trims, stays exact") {
+    import spark.implicits._
+    val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
+    val corpus = Corpus.generate(cfg)
+    val rules = Corpus.robotsRules(cfg)
+    val seeds = Seq("http://hot.example.com/p/2")
+    val o = CrawlOracle.run(corpus, rules,
+      CrawlOracle.CrawlConfig(seeds, onDomain = false, hostBudget = 3))
+    val df = corpusDf(corpus)
+    val root = tmpDir("consumedcrash")
+    val m1 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 2,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    // simulate the delta-commit crash window: wave 2's CONSUMED markers
+    // landed (the concurrent append), the frontier commit marker did not.
+    // The phantom marker carries a REAL deferred frontier row's hash — if
+    // the resume trim failed to roll it back, that row would be silently
+    // suppressed from the live frontier and the crawl would diverge.
+    val t = CrawlJob.tables(root, spark)
+    // victim = a row still LIVE (not suppressed by a real wave-0/1
+    // marker), so a non-rolled-back phantom would actually change the crawl
+    val live = t.frontier.read().select("url_hash")
+      .join(t.consumed.read().select("url_hash"), Seq("url_hash"), "left_anti")
+    val victim = live.head().getLong(0)
+    t.consumed.append(Seq(victim).toDF("url_hash"), Map("wave" -> 2L))
+    val m2 = CrawlJob.run(spark, df, rules,
+      CrawlJob.Config(seeds, onDomain = false, hostBudget = 3, maxWaves = 64,
+        numPartitions = 4, saltBuckets = 4, bloomItems = 100000L), root)
+    assertEquivalent(o, root, m1 ++ m2)
+  }
+
   test("kill after wave k, resume: final state identical to uninterrupted run") {
     val cfg = Corpus.Config(nHosts = 4, pagesPerHost = 6, linksPerPage = 5, seed = 99L)
     val corpus = Corpus.generate(cfg)

@@ -62,38 +62,77 @@ class PlanShapeSpec extends AnyFunSuite {
       ("a.com", "/private/open/y"), ("a.com", "/"), ("b.com", "/anything")))
   }
 
-  test("politeness state joins above the host cutover have NO O(hosts) broadcast") {
+  test("politeness state joins above the host cutover have NO hardcoded broadcast") {
     import spark.implicits._
-    // contended-host tag join + virtual-clock join both flip to
-    // shuffle-hash when the host high-water mark crosses the cutover —
-    // the last O(state)-broadcast shapes (VERDICT r4 what's-wrong #1)
+    // contended-host tag join + virtual-clock join: past the host
+    // high-water cutover no broadcast is written into the plan — the last
+    // O(state)-broadcast shapes (VERDICT r4 what's-wrong #1). At runtime
+    // AQE may still broadcast a side that MEASURES small (that's by size,
+    // not by construction), so the invariant is proven with size-based
+    // broadcast disabled: any surviving BroadcastExchange would be the
+    // hardcoded broadcast() call this test guards against.
     val frontier = BenchKernelRunner.frontierDf(spark, 5000, 4)
     val policy = Robots.Compiled(BenchKernelRunner.benchRules)
     val clock = spark.range(0, 100)
       .select(concat(lit("h"), col("id"), lit(".example.org")).as("host"),
         col("id").as("next_ts"))
     val over = Robots.MaxBroadcastHosts + 1
-    val budgeter = graft.operators.Politeness.clockedBudgeter(
-      policy, clock, wave = 1, ticksPerWave = 4, clockHosts = over)
-    val (fetch, defer) = graft.operators.Politeness.selectWith(
-      frontier, budgeter, saltBuckets = 4, hostsHint = over)
-    val n = fetch.count() + defer.count()
-    assert(n == 5000, s"politeness split lost rows: $n")
-    val full = fetch.queryExecution.executedPlan.toString
-    val plan = full.split("== Initial Plan ==")(0)
-    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
-      s"politeness state broadcast above the cutover:\n${plan.take(4000)}")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"expected shuffle-hash politeness state joins:\n${plan.take(4000)}")
-    // and below the cutover the small-state broadcast shape is kept
-    val (fetchB, _) = graft.operators.Politeness.selectWith(
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // case A: contended set MEASURES big (200k hosts, every one over a
+      // budget of 1) — nothing may broadcast: not the clock state, not
+      // the tag set
+      val wide = spark.range(0, 400000)
+        .select(concat(lit("w"), (col("id") / 2).cast("long"), lit(".example.org")).as("host"),
+          col("id").as("url_hash"), lit(1).as("depth"),
+          col("id").as("parent_ord"), lit(0).as("link_index"))
+      val budgeter1 = graft.operators.Politeness.clockedBudgeter(
+        policy, clock, wave = 0, ticksPerWave = 1, clockHosts = over)
+      val (fetchA, deferA) = graft.operators.Politeness.selectWith(
+        wide, budgeter1, saltBuckets = 4, hostsHint = over)
+      val nA = fetchA.count() + deferA.count()
+      assert(nA == 400000, s"politeness split lost rows: $nA")
+      val planA = fetchA.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!planA.contains("BroadcastHashJoin") && !planA.contains("BroadcastExchange"),
+        s"O(hosts) politeness state broadcast above the cutover:\n${planA.take(4000)}")
+      assert(planA.contains("ShuffledHashJoin") || planA.contains("SortMergeJoin"),
+        s"expected shuffled politeness state joins:\n${planA.take(4000)}")
+
+      // case B: same above-cutover hint, but the contended set MEASURES
+      // small (≤1001 hosts) — the measured cutover must broadcast it
+      // (O(contended), never O(hosts)) so the frontier is not shuffled
+      // for the tag join even with size-based broadcast off
+      val budgeter2 = graft.operators.Politeness.clockedBudgeter(
+        policy, clock, wave = 1, ticksPerWave = 4, clockHosts = over)
+      val (fetchB0, deferB0) = graft.operators.Politeness.selectWith(
+        frontier, budgeter2, saltBuckets = 4, hostsHint = over)
+      val nB = fetchB0.count() + deferB0.count()
+      assert(nB == 5000, s"politeness split lost rows: $nB")
+      val planB0 = fetchB0.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(planB0.contains("BroadcastHashJoin"),
+        s"measured-small contended set should broadcast:\n${planB0.take(4000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    // below the cutover the small-state broadcast shape is kept with no
+    // measuring job at all (the driver KNOWS the state is small)
+    val (fetchC, _) = graft.operators.Politeness.selectWith(
       frontier, graft.operators.Politeness.clockedBudgeter(
         policy, clock, wave = 1, ticksPerWave = 4, clockHosts = 100),
       saltBuckets = 4, hostsHint = 100)
-    fetchB.count()
-    val planB = fetchB.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(planB.contains("BroadcastHashJoin"),
-      s"small politeness state should broadcast:\n${planB.take(3000)}")
+    fetchC.count()
+    val planC = fetchC.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(planC.contains("BroadcastHashJoin"),
+      s"small politeness state should broadcast:\n${planC.take(3000)}")
   }
 
   test("a4 IVF plan broadcasts both the centroid table and the query set") {
