@@ -117,16 +117,23 @@ object PlanDump {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       try {
-        val frontier = BenchKernelRunner.frontierDf(spark, 5000, 4)
+        // every one of the 100k hosts is contended (2 rows vs budget 1),
+        // so the MEASURED cutover keeps the shuffle join — the regime a
+        // politeness-bound 10^7-host crawl runs in
+        val wide = spark.range(0, 200000)
+          .select(concat(lit("w"), (col("id") / 2).cast("long"),
+              lit(".example.org")).as("host"),
+            col("id").as("url_hash"), lit(1).as("depth"),
+            col("id").as("parent_ord"), lit(0).as("link_index"))
         val policy = operators.Robots.Compiled(BenchKernelRunner.benchRules)
         val clock = spark.range(0, 100)
           .select(concat(lit("h"), col("id"), lit(".example.org")).as("host"),
             col("id").as("next_ts"))
         val over = operators.Robots.MaxBroadcastHosts + 1
         val (fetch, _) = operators.Politeness.selectWith(
-          frontier,
-          operators.Politeness.clockedBudgeter(policy, clock, wave = 1,
-            ticksPerWave = 4, clockHosts = over),
+          wide,
+          operators.Politeness.clockedBudgeter(policy, clock, wave = 0,
+            ticksPerWave = 1, clockHosts = over),
           saltBuckets = 4, hostsHint = over)
         fetch.collect() // force the final AQE plan
         fetch.queryExecution.explainString(FormattedMode)
@@ -180,18 +187,18 @@ object PlanDump {
           "(PlanShapeSpec asserts this plan shape; RobotsScaleSpec proves " +
           "decision-identity with the broadcast path at 10^5 hosts).",
         robotsShufflePlan),
-      ("politeness state joins past the host cutover — no hardcoded broadcast",
+      ("politeness state joins past the host cutover — no O(hosts) broadcast",
         "Above Robots.MaxBroadcastHosts (2^16) distinct frontier hosts, " +
-          "BOTH per-host politeness state joins — the virtual-clock table " +
-          "(one next_ts row per host ever fetched) and the contended-host " +
-          "tag set — drop the broadcast() call (Politeness.hostStateJoin, " +
-          "same cutover as the robots rules join). This dump runs with " +
-          "size-based broadcast disabled so any BroadcastExchange would be " +
-          "a hardcoded one: there is none. In production AQE may still " +
-          "broadcast a side that MEASURES small at runtime (a sparse " +
-          "contended set) — by size, never O(hosts) by construction " +
-          "(PlanShapeSpec asserts both the cutover and the below-cutover " +
-          "broadcast shape).",
+          "the virtual-clock join is a plain join (AQE sizes it at " +
+          "runtime) and the contended-host tag set takes a MEASURED " +
+          "cutover: it is materialized and counted per wave, broadcast " +
+          "only when it measures ≤2^16 rows (O(contended), never " +
+          "O(hosts)), shuffle-joined otherwise. This dump shows the " +
+          "all-contended regime (100k hosts over budget) with size-based " +
+          "broadcast disabled: no BroadcastExchange anywhere. " +
+          "PlanShapeSpec asserts this shape AND the measured-small case " +
+          "where the tag set broadcasts so the frontier is never " +
+          "shuffled for the tag join.",
         politenessShufflePlan),
       ("d5_embedding_neardup — bucket-blocked self-join",
         "The pair join is an equi-join on the SRP bucket key (SortMergeJoin/" +
