@@ -290,8 +290,25 @@ object Bench {
       s""","scaling":{"kernel_n":$scalingN,"local8_urls_per_sec":$t8,"local32_urls_per_sec":$t32,"efficiency_8_to_32":$eff}"""
     } else { spark.stop(); "" }
 
+    // The REAL multi-executor-JVM scaling evidence (the north rule's
+    // N→4N criterion) cannot run inside this pass: each ClusterScale pair
+    // needs ~20 min of exclusively-owned box in local-cluster mode via
+    // spark-submit. The measured artifact lines from those runs are
+    // committed as a resource and re-emitted here VERBATIM, clearly
+    // labeled as out-of-run evidence, so the per-round JSON carries the
+    // full reps/medians/registered-counts (BENCH.md has the analysis).
+    val clusterScale = {
+      val in = getClass.getResourceAsStream("/graft/cluster_scale.jsonl")
+      if (in == null) ""
+      else try {
+        val pairs = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).mkString("[", ",", "]")
+        s""","cluster_scale_artifact":{"source":"graft.ClusterScale spark-submit runs (local-cluster mode, separate executor JVMs), measured out-of-run in dedicated windows — NOT produced by this Bench pass; analysis in BENCH.md round 5","pairs":$pairs}"""
+      } finally in.close()
+    }
+
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"kernel_joined_robots_1m_hosts":1000000,"kernel_joined_robots_1m_urls_per_sec":$joined1mRate,"kernel_clock_10k_hosts_urls_per_sec":$clockBcastRate,"kernel_clock_1m_hosts_urls_per_sec":$clockShuffleRate,"queries":$qs,$crawlStats,$intakeStats$scaling,"sf":"$sfDir"}""")
+      s"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$throughput,"unit":"urls/sec","kernel_n":$kernelN,"kernel_wall_sec":$kw,"kernel_last_rep_urls_per_sec":$lastRate,"kernel_reps":$repsJson,"kernel_seen10x_n":$seen10N,"kernel_seen10x_urls_per_sec":$seen10Rate,"kernel_seen025x_urls_per_sec":$comparatorRate,"kernel_seen10x_vs_025x":${seen10Rate / comparatorRate},"kernel_joined_robots_hosts":10000,"kernel_joined_robots_urls_per_sec":$joinedRate,"kernel_joined_robots_1m_hosts":1000000,"kernel_joined_robots_1m_urls_per_sec":$joined1mRate,"kernel_clock_10k_hosts_urls_per_sec":$clockBcastRate,"kernel_clock_1m_hosts_urls_per_sec":$clockShuffleRate,"queries":$qs,$crawlStats,$intakeStats$scaling$clusterScale,"sf":"$sfDir"}""")
   }
 }
