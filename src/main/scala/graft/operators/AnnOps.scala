@@ -115,21 +115,34 @@ object AnnOps {
   private def planeWeight(i: Column, p: Int): Column =
     pmod(i * 31 + lit(p) * 17 + 7, lit(7)) - 3
 
-  /** Sign-random-projection bucket id for an embedding column.
-    * Projections run on floor-quantized integer components (×1000) so the
-    * sign is exact integer arithmetic — no float-summation-order drift
-    * between engines. Shared by a2/a3 and DedupOps.embeddingNearDup. */
-  def srpBucket(embCol: Column, nPlanes: Int): Column = {
-    val dims = sequence(lit(0), size(embCol) - 1)
+  /** Floor-quantized integer components (×1000) of an embedding — the
+    * shared input every SRP plane projects; materialize it through a
+    * projection boundary so the float quantization runs once per row,
+    * not once per plane. */
+  def srpQuantized(embCol: Column): Column =
+    transform(embCol, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** SRP bucket id over a PRE-QUANTIZED long-array column (see
+    * [[srpQuantized]]): per plane, the integer dot product against the
+    * index-derived weights — exact integer arithmetic, no
+    * float-summation-order drift between engines. */
+  def srpBucketQ(qCol: Column, nPlanes: Int): Column = {
+    val dims = sequence(lit(0), size(qCol) - 1)
     val bucketBits = (0 until nPlanes).map { p =>
       val proj = aggregate(dims, lit(0L),
         (acc, i) => acc +
-          floor(element_at(embCol, (i + 1).cast("int")).cast("double") * 1000).cast("long") *
-          planeWeight(i, p).cast("long"))
+          element_at(qCol, (i + 1).cast("int")) * planeWeight(i, p).cast("long"))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bucketBits.reduce(_ + _)
   }
+
+  /** Sign-random-projection bucket id for an embedding column — the
+    * one-shot form ([[srpQuantized]] folded in; prefer the split pair
+    * with a projection boundary on hot paths). Shared by a2/a3 and
+    * DedupOps.embeddingNearDup. */
+  def srpBucket(embCol: Column, nPlanes: Int): Column =
+    srpBucketQ(srpQuantized(embCol), nPlanes)
 
   /** DuckDB twin of [[srpBucket]] over a column named `embedding`, with
     * plane terms masked by an in-scope `np` column (the SQL can't unroll
@@ -184,10 +197,13 @@ object AnnOps {
   def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val np = nPlanesFor(embCount(s, dir))
-    emb(s, dir).select(
-      $"vec_id",
-      srpBucket($"embedding", np).as("bucket"),
-      $"label".cast("long").as("label"))
+    emb(s, dir)
+      .select($"vec_id", srpQuantized($"embedding").as("__q"),
+        $"label".cast("long").as("label"))
+      .select(
+        $"vec_id",
+        srpBucketQ($"__q", np).as("bucket"),
+        $"label")
       .orderBy($"vec_id")
   }
 
@@ -208,8 +224,11 @@ object AnnOps {
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val np = nPlanesFor(embCount(s, dir))
-    val e = emb(s, dir).select($"vec_id", $"embedding",
-      srpBucket($"embedding", np).as("bucket"), norm($"embedding").as("nrm"))
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", srpQuantized($"embedding").as("__q"),
+        norm($"embedding").as("nrm"))
+      .select($"vec_id", $"embedding",
+        srpBucketQ($"__q", np).as("bucket"), $"nrm")
     val q = e.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qnrm"),
         explode(probeArray($"bucket", np, QueryProbeRadius)).as("bucket"))
@@ -386,9 +405,12 @@ object AnnOps {
   private[graft] def ivfTopKImpl(s: SparkSession, dir: String,
       forceJoin: Boolean): DataFrame = {
     import s.implicits._
-    val nCent = nCentroidsFor(embCount(s, dir))
-    val nProbe = nProbeFor(nCent)
+    // one pass: the cache-populating count IS the corpus count the cell
+    // ladder needs (the previous separate parquet-count job cost a full
+    // extra job before training even started)
     val e = emb(s, dir).withColumn("nrm", norm($"embedding")).persist()
+    val nCent = nCentroidsFor(e.count())
+    val nProbe = nProbeFor(nCent)
     try {
       val cents = trainCentroids(e, nCent, forceJoin)
       val cells = withCell(e, cents, forceJoin)

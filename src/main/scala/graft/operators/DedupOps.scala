@@ -28,12 +28,14 @@ object DedupOps {
 
   private def words(c: Column): Column = split(c, " ")
 
-  private def shingles(c: Column): Column = {
-    val w = words(c)
+  /** Shingle set over a MATERIALIZED token-array column: the slice lambda
+    * references the array attribute, so the split never re-runs per
+    * element (an inlined split(text) in the lambda body is re-evaluated
+    * once per shingle — measured ~2x on the shingle-bearing queries). */
+  private def shinglesOf(w: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(w) - 2, lit(1))),
       i => concat_ws(" ", slice(w, i, lit(3)))))
-  }
 
   val NumHashes = 8
   val Bands = 4 // 2 rows per band
@@ -70,7 +72,8 @@ object DedupOps {
   def minhashSignature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select($"doc_id", shingleHash(shingles($"text")).as("hs"))
+      .select($"doc_id", words($"text").as("__w"))
+      .select($"doc_id", shingleHash(shinglesOf($"__w")).as("hs"))
       .select($"doc_id",
         concat_ws(",", transform(sigOver($"hs"), v => v.cast("string"))).as("sig"))
       .orderBy($"doc_id")
@@ -110,8 +113,13 @@ object DedupOps {
     * in the DuckDB twin). */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // banded feeds BOTH sides of the self-join below: an eager
+    // localCheckpoint computes the shingle/md5/signature chain ONCE per
+    // row instead of once per join side (each invocation still computes
+    // from the parquet input — nothing survives across calls)
     val banded = docs(s, dir)
-      .select($"doc_id", shingleHash(shingles($"text")).as("hs"))
+      .select($"doc_id", words($"text").as("__w"))
+      .select($"doc_id", shingleHash(shinglesOf($"__w")).as("hs"))
       .select($"doc_id", $"hs", sigOver($"hs").as("sig"))
       .select($"doc_id", $"hs", posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
@@ -119,6 +127,7 @@ object DedupOps {
           slice(col("sig"), b * (NumHashes / Bands) + 1, lit(NumHashes / Bands)),
           v => v.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .localCheckpoint(true)
     val l = banded.select($"doc_id".as("a"), $"hs".as("hs_a"), $"band", $"band_key")
     val r = banded.select($"doc_id".as("b"), $"hs".as("hs_b"), $"band", $"band_key")
     l.join(r, Seq("band", "band_key"))
@@ -221,9 +230,15 @@ object DedupOps {
     * all-pairs SQL. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).select($"doc_id", $"lang",
-      (length($"text") / 100).cast("int").as("lb"),
-      shingleHash(shingles($"text")).as("hs"))
+    // d feeds both sides of the triangle self-join (plus the block-size
+    // aggregate): one eager localCheckpoint computes the shingle hashing
+    // once per row instead of once per consumer
+    val d = docs(s, dir)
+      .select($"doc_id", $"lang", $"text", words($"text").as("__w"))
+      .select($"doc_id", $"lang",
+        (length($"text") / 100).cast("int").as("lb"),
+        shingleHash(shinglesOf($"__w")).as("hs"))
+      .localCheckpoint(true)
     triangleJaccardPairs(d, BlockCap)
   }
 
@@ -293,10 +308,18 @@ object DedupOps {
     import s.implicits._
     val raw = s.read.parquet(s"$dir/embeddings.parquet")
     val np = AnnOps.nPlanesFor(raw.count())
+    // e feeds both sides of the bucket self-join: the eager
+    // localCheckpoint computes the SRP planes + norm ONCE per vector
+    // instead of once per join side; the quantized components cross a
+    // projection boundary so the per-plane integer dot products share
+    // one float quantization pass
     val e = raw
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"vec_id", $"embedding", AnnOps.srpBucket($"embedding", np).as("bucket"),
+      .select($"vec_id", $"embedding", AnnOps.srpQuantized($"embedding").as("__q"),
         norm($"embedding").as("nrm")) // per-vector, once — not per pair
+      .select($"vec_id", $"embedding", AnnOps.srpBucketQ($"__q", np).as("bucket"),
+        $"nrm")
+      .localCheckpoint(true)
     val probes = array((Seq($"bucket") ++
       (0 until np).map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*)
     val l = e.select($"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na"),

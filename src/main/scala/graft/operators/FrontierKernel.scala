@@ -62,8 +62,10 @@ object FrontierKernel {
     // post-exchange layered prefilter (task p faults in only bucket p's
     // file-bank image — O(seen/B) resident per executor; delta layers are
     // O(wave) broadcasts), filter-negatives skip the exact anti-join
-    // chain; the seen pieces never re-shuffle (SeenState.freshAndConfirmed)
-    val newUrls = seen.freshAndConfirmed(fetchSet)
+    // chain; the seen pieces never re-shuffle (SeenState.freshAndConfirmed).
+    // The just-counted cardinality rides along so the large-wave path
+    // materializes the candidate exchange exactly once.
+    val newUrls = seen.freshAndConfirmed(fetchSet, scheduled)
 
     // 4. robots through the same size-adaptive policy face
     val path = coalesce(nullif(parse_url(col("url"), lit("PATH")), lit("")), lit("/"))

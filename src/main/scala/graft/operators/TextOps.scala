@@ -39,14 +39,19 @@ object TextOps {
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
   /** t2: token counting — whitespace tokens, distinct tokens, and a
-    * BPE-ish subword estimate (4 chars ≈ 1 token, ceiling). */
+    * BPE-ish subword estimate (4 chars ≈ 1 token, ceiling). The token
+    * array crosses a projection boundary so the split runs once per row
+    * (HOF-bearing trees are excluded from codegen subexpression
+    * elimination, so inlined twins each pay the split). */
   def tokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir).select(
-      $"doc_id",
-      size(words($"text")).cast("long").as("n_tokens"),
-      size(array_distinct(words($"text"))).cast("long").as("n_distinct_tokens"),
-      ceil(length($"text") / lit(4.0)).cast("long").as("n_subword_est"))
+    docs(s, dir)
+      .select($"doc_id", words($"text").as("__w"), length($"text").as("__len"))
+      .select(
+        $"doc_id",
+        size($"__w").cast("long").as("n_tokens"),
+        size(array_distinct($"__w")).cast("long").as("n_distinct_tokens"),
+        ceil($"__len" / lit(4.0)).cast("long").as("n_subword_est"))
       .orderBy($"doc_id")
   }
 
@@ -64,16 +69,22 @@ object TextOps {
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = words($"text")
-    val stopHits = size(filter(w, t => t.isin(Stopwords: _*)))
-    docs(s, dir).select(
-      $"doc_id",
-      length($"text").cast("long").as("n_chars"),
-      size(w).cast("long").as("n_tokens"),
-      stopHits.cast("long").as("stopword_hits"),
-      // mean token length in hundredths, integer-exact in both engines
-      ((length($"text") - size(w) + 1) * lit(100L) / size(w)).cast("long")
-        .as("mean_token_len_x100"),
-      (stopHits * lit(1000L) / size(w)).cast("long").as("stopword_ratio_x1000"))
+    // integer signals materialize once (projection boundary): the split
+    // and the stopword HOF otherwise re-evaluate per consuming column
+    docs(s, dir)
+      .select($"doc_id",
+        length($"text").as("__nc"),
+        size(w).as("__nt"),
+        size(filter(w, t => t.isin(Stopwords: _*))).as("__sh"))
+      .select(
+        $"doc_id",
+        $"__nc".cast("long").as("n_chars"),
+        $"__nt".cast("long").as("n_tokens"),
+        $"__sh".cast("long").as("stopword_hits"),
+        // mean token length in hundredths, integer-exact in both engines
+        (($"__nc" - $"__nt" + 1) * lit(100L) / $"__nt").cast("long")
+          .as("mean_token_len_x100"),
+        ($"__sh" * lit(1000L) / $"__nt").cast("long").as("stopword_ratio_x1000"))
       .orderBy($"doc_id")
   }
 
@@ -104,18 +115,25 @@ object TextOps {
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = words(lower($"text"))
-    val hits = LangMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, t => t.isin(ms: _*))).cast("long")
+    // per-language hit counts materialize ONCE (projection boundary):
+    // the argmax fold below duplicates its operand trees (acc appears in
+    // both branches of every `when`), so folding over the raw HOF counts
+    // re-evaluated each marker filter up to ~2^4 times per row
+    val hitCols = LangMarkers.map { case (lang, ms) =>
+      size(filter(w, t => t.isin(ms: _*))).cast("long").as(s"__h_$lang")
     }
+    val hits = LangMarkers.map { case (lang, _) => lang -> col(s"__h_$lang") }
     val best = hits.tail.foldLeft(
       struct(hits.head._2.as("n"), lit(hits.head._1).as("lang"))) { case (acc, (lang, n)) =>
       when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("lang"))).otherwise(acc)
     }
-    docs(s, dir).select(
-      $"doc_id",
-      when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
-        .as("lang_pred"),
-      best.getField("n").as("marker_hits"))
+    docs(s, dir)
+      .select(($"doc_id" +: hitCols): _*)
+      .select(
+        $"doc_id",
+        when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
+          .as("lang_pred"),
+        best.getField("n").as("marker_hits"))
       .orderBy($"doc_id")
   }
 
@@ -141,14 +159,19 @@ object TextOps {
     * explode, no shuffle. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words($"text")
-    val shingles = transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3))))
-    docs(s, dir).select(
-      $"doc_id",
-      array_min(transform(shingles, sh => md5(sh))).as("min_shingle_hash"),
-      size(shingles).cast("long").as("n_shingles"))
+    // the token array crosses a projection boundary: the shingle lambda
+    // otherwise embeds split(text) in its body and re-splits per element;
+    // n_shingles = the sequence length directly (size∘transform ≡ size of
+    // the generating sequence — same value, zero second shingle build)
+    docs(s, dir)
+      .select($"doc_id", words($"text").as("__w"))
+      .select(
+        $"doc_id",
+        array_min(transform(
+          transform(sequence(lit(1), greatest(size($"__w") - 2, lit(1))),
+            i => concat_ws(" ", slice($"__w", i, lit(3)))),
+          sh => md5(sh))).as("min_shingle_hash"),
+        greatest(size($"__w") - 2, lit(1)).cast("long").as("n_shingles"))
       .orderBy($"doc_id")
   }
 

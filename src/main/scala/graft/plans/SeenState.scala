@@ -397,6 +397,7 @@ final class SeenState(
     retiredBcs = Vector.empty
     retiredDirs.foreach(SeenState.deleteDir)
     retiredDirs = Vector.empty
+    freeCandCk() // the wave's dedup plans are committed — drop the candidate checkpoint
   }
 
   /** candidates MINUS seen, exact: one candidate-side exchange into the
@@ -412,17 +413,45 @@ final class SeenState(
     * p's image: O(seen/B) resident), filter-negatives skip the join chain
     * entirely, filter-positives get exact confirmation against the
     * pre-partitioned pieces with zero seen-side exchange. Returns
-    * fresh ∪ confirmed (the truly-new candidates). */
-  def freshAndConfirmed(cands: DataFrame): DataFrame = {
+    * fresh ∪ confirmed (the truly-new candidates).
+    *
+    * `candsHint` (-1 = unknown): past [[SeenState.CheckpointCandsAt]]
+    * rows, the exchanged candidates are wrapped in a LAZY columnar cache
+    * before the fresh/confirmed split. Both branches then reference one
+    * InMemoryRelation — one shuffle dependency, so the exchange's map
+    * stage runs exactly once and each cached partition is computed once
+    * (block-level getOrElseUpdate) — where the plain two-branch plan
+    * materialized the exchange TWICE over a persisted ranked fetch-set
+    * (two full map stages, 2.3 GB shuffle written each, the second alone
+    * ~45% of r6 kernel wall at 64M rows; AQE's exchange reuse fires on
+    * the small deterministic probe plan in PLANS.md but not on this
+    * shape). Lazy on purpose: no extra materialization pass — the first
+    * branch to touch a partition computes and caches it. Below the
+    * threshold the plain plan wins (a small wave should not pay a cache
+    * round-trip). The cache is released at the next call, at
+    * [[releaseRetired]] (wave boundary), and at [[close]]. */
+  def freshAndConfirmed(cands: DataFrame, candsHint: Long = -1L): DataFrame = {
     awaitFold()
     if (pieces.isEmpty) return cands
     if (baseBc == null) materializeBankIfAny()
-    val parts = cands.repartition(B, col("url_hash"))
+    freeCandCk()
+    val parts =
+      if (candsHint >= SeenState.CheckpointCandsAt) {
+        candCk = cands.repartition(B, col("url_hash")).persist()
+        candCk
+      } else cands.repartition(B, col("url_hash"))
     val might = UrlExpressions.might_contain_any(col("url_hash"), baseBc +: deltaBcs)
     val fresh = parts.filter(!might)
     val confirmed = pieces.foldLeft(parts.filter(might))(
       (acc, p) => acc.join(p, Seq("url_hash"), "left_anti"))
     fresh.unionByName(confirmed)
+  }
+
+  // the one live candidate-side cache (freshAndConfirmed large path)
+  private var candCk: DataFrame = null
+  private def freeCandCk(): Unit = if (candCk != null) {
+    scala.util.Try(candCk.unpersist(blocking = false))
+    candCk = null
   }
 
   /** Cuckoo unsee for the retry path: delete the retried hashes from the
@@ -641,6 +670,15 @@ final class SeenState(
 }
 
 object SeenState {
+  /** Candidate-row threshold for [[SeenState.freshAndConfirmed]]'s
+    * checkpoint-once path: above this, materializing the bucket exchange
+    * once beats letting the fresh/confirmed branches each run it; below,
+    * the plain two-branch plan is cheaper than an extra job + cache
+    * round-trip. Scale-free (a row-count constant, not a local[32]
+    * tuning knob): the crossover is where one extra shuffle map pass of
+    * the candidate set costs more than one cache write+read of it. */
+  val CheckpointCandsAt: Long = 1L << 20
+
   /** Atomic per-bucket image write (temp + rename; task-retry-safe:
     * last-writer-wins on identical content). Runs INSIDE executor tasks
     * — the StateIO seam resolves the filesystem per call, so a URI bank
