@@ -121,6 +121,9 @@ object BenchExtra {
       case "kernel" =>
         val n = if (args.length > 1) args(1).toLong else 64000000L
         val reps = if (args.length > 2) args(2).toInt else 2
+        // "noclear" replicates the frozen Bench's kernel phase exactly:
+        // 1M-row warmup, then back-to-back reps with NO clearCache between
+        val benchMode = args.length > 3 && args(3) == "noclear"
         @volatile var log = Vector.empty[String]
         val listener = new SparkListener {
           override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -136,15 +139,54 @@ object BenchExtra {
           }
         }
         spark.sparkContext.addSparkListener(listener)
+        if (benchMode) BenchKernelRunner.run(spark, math.min(n / 4, 1000000L), cpus)
         (1 to reps).foreach { i =>
           log = Vector.empty
           val t0 = System.nanoTime()
           val (wall, urls) = BenchKernelRunner.run(spark, n, cpus)
           val total = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
+          if (!benchMode) spark.catalog.clearCache()
           println(f"[kernel] rep=$i wall=$wall%.2fs (incl setup $total%.2fs) urls=$urls rate=${urls / wall}%.0f/s")
           log.foreach(println)
         }
+      case "reuse" =>
+        // diagnose AQE exchange reuse over freshAndConfirmed's two branches
+        // for (a) a plain deterministic input, (b) a persisted input whose
+        // plan contains monotonically_increasing_id (the kernel's fetchSet
+        // shape) — prints whether ReusedExchange appears in the final plan
+        import org.apache.spark.sql.functions._
+        def check(tag: String, cands: org.apache.spark.sql.DataFrame): Unit = {
+          val seen = new graft.plans.SeenState(spark, buckets = 8,
+            useCuckoo = false, expectedItems = 100000L, fpp = 0.01, compactAt = 8)
+          try {
+            seen.bootstrap(spark.range(0, 50000)
+              .select(xxhash64(col("id")).as("url_hash"), col("id").cast("string").as("url")))
+            val out = seen.freshAndConfirmed(cands) // small path (no hint)
+            out.write.format("noop").mode("overwrite").save()
+            val plan = out.queryExecution.executedPlan.toString
+            val maps = plan.linesIterator.count(l =>
+              l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+            println(s"[reuse] $tag: exchanges=$maps reused=${plan.contains("ReusedExchange")}")
+          } finally seen.close()
+        }
+        val plain = spark.range(0, 200000).select(xxhash64(col("id")).as("url_hash"))
+        check("plain-range", plain)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        check("plain-range, noBroadcast", plain)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        check("plain-range, noAQE", plain)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val ranked = graft.operators.Ranker.orderIsomorphicId(
+          spark.range(0, 200000).select(xxhash64(col("id")).as("url_hash"),
+            col("id").as("depth")),
+          Seq(col("depth")), "ord", 1L << 50, 8).persist()
+        ranked.count()
+        check("persisted-ranked (monotonic id)", ranked)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        check("persisted-ranked, noBroadcast", ranked)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ranked.unpersist()
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

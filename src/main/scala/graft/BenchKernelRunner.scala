@@ -101,8 +101,8 @@ object BenchKernelRunner {
       frontier, budgeter, saltBuckets = cpus * 2, hostsHint = hint)
     val urls = fetch.count() + defer.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    frontier.unpersist()
-    clock.unpersist()
+    frontier.unpersist(blocking = true) // rep hygiene, outside the timed region
+    clock.unpersist(blocking = true)
     (wall, urls)
   }
 
@@ -129,7 +129,10 @@ object BenchKernelRunner {
       hostBudget = Int.MaxValue / 4, saltBuckets = cpus * 2,
       numPartitions = parts)
     val wall = (System.nanoTime() - t0) / 1e9
-    frontier.unpersist()
+    // rep hygiene, OUTSIDE the timed region: blocking frees so a rep's
+    // multi-GB caches are actually gone before the next rep allocates
+    // (async frees still draining made later reps bimodal)
+    frontier.unpersist(blocking = true)
     seen.close()
     policy match { // rep hygiene: a leaked packed cache degrades later reps
       case j: graft.operators.Robots.Joined => j.packed.unpersist(); ()

@@ -449,8 +449,8 @@ final class SeenState(
 
   // the one live candidate-side cache (freshAndConfirmed large path)
   private var candCk: DataFrame = null
-  private def freeCandCk(): Unit = if (candCk != null) {
-    scala.util.Try(candCk.unpersist(blocking = false))
+  private def freeCandCk(blocking: Boolean = false): Unit = if (candCk != null) {
+    scala.util.Try(candCk.unpersist(blocking))
     candCk = null
   }
 
@@ -636,6 +636,10 @@ final class SeenState(
     pieces.foreach(GraftShim.freeCheckpoint)
     pieces = Vector.empty
     pieceSizes = Vector.empty
+    // BLOCKING here (end of run / bench rep, never wave-path latency):
+    // an async-freed 2+ GB candidate cache still draining while the next
+    // rep allocates its own caused bimodal rep walls (storage churn)
+    freeCandCk(blocking = true)
     releaseRetired()
     (Option(baseBc).toVector ++ deltaBcs).foreach(b => scala.util.Try(b.destroy()))
     baseBc = null
