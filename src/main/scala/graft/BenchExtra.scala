@@ -149,6 +149,46 @@ object BenchExtra {
           println(f"[kernel] rep=$i wall=$wall%.2fs (incl setup $total%.2fs) urls=$urls rate=${urls / wall}%.0f/s")
           log.foreach(println)
         }
+      case "drain" =>
+        // VERDICT r5 #1 evidence: intake-drain dedup cost vs seen size.
+        // Times the probe-path dedup (what drainStep now calls) and the
+        // old raw left-anti against the durable table, for ONE posted
+        // seed, at two seen sizes an order of magnitude apart.
+        import org.apache.spark.sql.functions._
+        val sizes = Seq(16000000L, 160000000L)
+        sizes.foreach { n =>
+          val seen = new graft.plans.SeenState(spark, buckets = cpus * 2,
+            useCuckoo = false, expectedItems = n, fpp = 0.01, compactAt = 8)
+          val seenDf = spark.range(0, n, 1, cpus * 2)
+            .select(xxhash64(concat(lit("http://h"), pmod(col("id"), lit(1000)),
+              lit(".example.org/p/"), col("id"))).as("url_hash"))
+          seen.bootstrap(seenDf)
+          val seedBatch = Seq(("http://new-seed.example.org/p/0",
+            graft.functions.UrlOps.urlHash64("http://new-seed.example.org/p/0"),
+            "new-seed.example.org", 0, 0L, 0))
+          import spark.implicits._
+          val winners = seedBatch
+            .toDF("url", "url_hash", "host", "depth", "parent_ord", "link_index")
+          def time(tag: String)(f: => Unit): Unit = {
+            val t0 = System.nanoTime()
+            f
+            println(f"[drain] seen=$n $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          time("probe-path (freshAndConfirmed, r6 drain)") {
+            seen.freshAndConfirmed(winners)
+              .write.format("noop").mode("overwrite").save()
+          }
+          // the durable table stand-in for the old path: the prepared
+          // bucketed seen pieces ARE the committed rows, so anti-join the
+          // raw hash set directly (same bytes the old t.seen.read() scan+
+          // shuffle paid)
+          time("raw left-anti vs O(seen) table (r5 drain)") {
+            winners.join(seenDf, Seq("url_hash"), "left_anti")
+              .write.format("noop").mode("overwrite").save()
+          }
+          seen.close()
+          spark.catalog.clearCache()
+        }
       case "reuse" =>
         // diagnose AQE exchange reuse over freshAndConfirmed's two branches
         // for (a) a plain deterministic input, (b) a persisted input whose

@@ -60,10 +60,13 @@ object ClusterScale {
           "level would run under-provisioned; aborting instead of emitting " +
           "an uncontrolled comparison")
       val totalCores = execs * cores
-      // warmup: a 1M-row pass was too small to finish JIT-compiling the
-      // kernel at n=64M (round-4/5 rep-1 outliers); a quarter-sized pass
-      // leaves the steady-state code paths hot at every level
-      BenchKernelRunner.run(spark, math.max(n / 4, 1000000L), totalCores)
+      // warmup: one FULL-SIZE untimed pass. The r5 quarter-sized warmup
+      // gave the 4N level 4x less JIT work PER CORE than the N level
+      // (fresh executor JVMs per session), so interleaved high-level
+      // first reps read systematically cold (r6 pairs J/K: first high
+      // rep 1.6-2.1M vs 3.0-3.3M steady) — a warmup that equals the
+      // measured shape removes the per-level JIT asymmetry outright
+      BenchKernelRunner.run(spark, n, totalCores)
       val rates = (1 to reps).map { i =>
         val (w, u) = BenchKernelRunner.run(spark, n, totalCores)
         System.err.println(f"[cluster-scale] execs=$execs rep=$i wall=$w%.1fs rate=${u / w}%.0f/s")
