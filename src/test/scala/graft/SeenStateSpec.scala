@@ -237,6 +237,37 @@ class SeenStateSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("freshAndConfirmed large-wave path: shared candidate cache, same result, freed at boundary") {
+    // the candsHint >= CheckpointCandsAt path wraps the bucket exchange in
+    // ONE lazy columnar cache both branches share (AQE materialized the
+    // exchange twice on this union shape — r6 kernel finding); the hint is
+    // caller-provided, so the path is exercised directly at test scale
+    val s = new SeenState(spark, buckets = 4, useCuckoo = false,
+      expectedItems = 40000L, fpp = 0.01, compactAt = 8)
+    try {
+      s.bootstrap(hashes(0, 3000))
+      s.addWave(hashes(3000, 4000))
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+      val out = s.freshAndConfirmed(hashes(2000, 6000), SeenState.CheckpointCandsAt)
+      val got = out.collect().map(_.getLong(0)).toSet
+      val byId = spark.range(0, 6000).select(col("id"), xxhash64(col("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == (4000L until 6000L).map(byId).toSet,
+        "cache-path result must equal exact set-minus")
+      // both branches must read the shared candidate cache (one shuffle
+      // dependency — the single materialization itself is evidenced by
+      // the committed kernel stage profiles, plans/r06)
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("InMemoryTableScan"),
+        s"large-wave path must read the shared candidate cache:\n${plan.take(3000)}")
+      // wave boundary frees the cache (a leaked multi-GB cache per wave
+      // would churn storage memory across a crawl)
+      s.releaseRetired()
+      assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+        "candidate cache must be dropped at the wave boundary")
+    } finally s.close()
+  }
+
   test("freshAndConfirmed equals exact set-minus and reuses one exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
