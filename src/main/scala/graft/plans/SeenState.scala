@@ -675,13 +675,20 @@ final class SeenState(
 
 object SeenState {
   /** Candidate-row threshold for [[SeenState.freshAndConfirmed]]'s
-    * checkpoint-once path: above this, materializing the bucket exchange
-    * once beats letting the fresh/confirmed branches each run it; below,
-    * the plain two-branch plan is cheaper than an extra job + cache
-    * round-trip. Scale-free (a row-count constant, not a local[32]
-    * tuning knob): the crossover is where one extra shuffle map pass of
-    * the candidate set costs more than one cache write+read of it. */
-  val CheckpointCandsAt: Long = 1L << 20
+    * cache-once path: above this, materializing the bucket exchange once
+    * beats letting the fresh/confirmed branches each run it; below, the
+    * plain two-branch plan is cheaper (the two branch map stages run
+    * CONCURRENTLY when cores are idle, so at small waves the duplicated
+    * exchange costs near-zero wall while the cache serializes
+    * populate→read). Env-overridable (`GRAFT_SEEN_CAND_CACHE_AT`) like
+    * the other scale-dependent knobs; the default sits at the measured
+    * crossover band (A/B at 16M rows: no-cache ~5–7% faster; at 64M the
+    * cache is the difference between one and two full 2.3 GB shuffle
+    * materializations — OPTIMIZATION_r06.md Change 1). On a real cluster
+    * the duplicated exchange also doubles NETWORK bytes, so production
+    * deployments may set it lower. */
+  val CheckpointCandsAt: Long =
+    sys.env.get("GRAFT_SEEN_CAND_CACHE_AT").map(_.toLong).getOrElse(1L << 25)
 
   /** Atomic per-bucket image write (temp + rename; task-retry-safe:
     * last-writer-wins on identical content). Runs INSIDE executor tasks
