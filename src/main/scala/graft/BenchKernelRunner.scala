@@ -98,7 +98,8 @@ object BenchKernelRunner {
     val budgeter = graft.operators.Politeness.clockedBudgeter(
       policy, clock, wave = 0, ticksPerWave = 1 << 26, clockHosts = hint)
     val (fetch, defer) = graft.operators.Politeness.selectWith(
-      frontier, budgeter, saltBuckets = cpus * 2, hostsHint = hint)
+      frontier, budgeter, saltBuckets = cpus * 2, hostsHint = hint,
+      frontierHint = n)
     val urls = fetch.count() + defer.count()
     val wall = (System.nanoTime() - t0) / 1e9
     frontier.unpersist(blocking = true) // rep hygiene, outside the timed region

@@ -50,8 +50,11 @@ object FrontierKernel {
       numPartitions: Int): KernelResult = {
     import org.apache.spark.sql.Observation
 
-    // 1. politeness (contended-host split + two-phase salted top-k)
-    val (fetchSet0, _) = Politeness.select(frontier, policy, hostBudget, saltBuckets)
+    // 1. politeness (contended-host split + two-phase salted top-k; the
+    // frontier total rides along so a large frontier with an empty
+    // contended set skips the windowed branch's full scan)
+    val (fetchSet0, _) = Politeness.select(frontier, policy, hostBudget, saltBuckets,
+      frontierHint = frontierTotal)
 
     // 2. visit ids (persisted: the prefilter-split consumes it twice)
     val fetchSet = Ranker.orderIsomorphicId(fetchSet0, priorityKeys, "ord",

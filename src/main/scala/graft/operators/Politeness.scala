@@ -54,15 +54,27 @@ object Politeness {
       df.join(side, Seq("host"), "left_outer")
     else df.join(broadcast(side), Seq("host"), "left_outer")
 
+  /** Frontier-row threshold for the measured empty-contended
+    * short-circuit in [[selectWith]]: past this many frontier rows, ONE
+    * count of the aggregate-sized contended set (cheap: hosts, not rows)
+    * is worth paying to skip the windowed branch outright when the set
+    * is empty — that branch otherwise scans the WHOLE frontier just to
+    * keep zero rows. Below it, a per-wave count job costs more than the
+    * scan it might save. Env-overridable like the other scale knobs. */
+  val SkipContendedProbeAt: Long =
+    sys.env.get("GRAFT_CONTENDED_PROBE_AT").map(_.toLong).getOrElse(1L << 22)
+
   /** Back-compat entry point for driver-resident rule Seqs. */
   def select(frontier: DataFrame, rules: Seq[RobotsRule], hostBudget: Int,
       saltBuckets: Int): (DataFrame, DataFrame) =
     select(frontier, Robots.Compiled(rules), hostBudget, saltBuckets)
 
   def select(frontier: DataFrame, policy: Robots.RobotsPolicy, hostBudget: Int,
-      saltBuckets: Int, hostsHint: Long = -1L): (DataFrame, DataFrame) =
+      saltBuckets: Int, hostsHint: Long = -1L, frontierHint: Long = -1L)
+      : (DataFrame, DataFrame) =
     selectWith(frontier,
-      (df, out) => policy.withBudget(df, hostBudget, out), saltBuckets, hostsHint)
+      (df, out) => policy.withBudget(df, hostBudget, out), saltBuckets, hostsHint,
+      frontierHint)
 
   /** Cross-wave virtual-clock budgeter (SURVEY P1: `ts_next(host) =
     * ts_last + crawl_delay` carryover). Wave w spans virtual ticks
@@ -102,7 +114,8 @@ object Politeness {
     * is O(frontier hosts) — a broadcast there is the O(state) shape the
     * clock join above just eliminated). */
   def selectWith(frontier: DataFrame, budgeter: (DataFrame, String) => DataFrame,
-      saltBuckets: Int, hostsHint: Long = -1L): (DataFrame, DataFrame) = {
+      saltBuckets: Int, hostsHint: Long = -1L, frontierHint: Long = -1L)
+      : (DataFrame, DataFrame) = {
     // tier 1: hosts under budget skip the windows entirely. The budget
     // joins against the per-host AGGREGATE (one row per host), so the
     // join path never touches the full frontier here.
@@ -122,11 +135,24 @@ object Politeness {
     // contended set (measured 6× on the 10^6-host clock kernel); a static
     // broadcast is the O(hosts) scale-killer. Below the hint the caller
     // KNOWS the state is small: broadcast without the measuring job.
-    val contendedHosts =
-      if (hostsHint >= 0 && hostsHint > Robots.MaxBroadcastHosts) {
+    // The same measurement also powers the EMPTY short-circuit on large
+    // frontiers (`frontierHint` ≥ [[SkipContendedProbeAt]]): with zero
+    // contended hosts the windowed branch below would still SCAN the
+    // whole frontier just to keep no rows (its filter sits above the tag
+    // join), so the decision-identical answer — fetch = frontier, defer =
+    // empty — is returned directly. Selection is unchanged: tier 1 admits
+    // every row of a host at-or-under budget, which with an empty
+    // contended set is every row.
+    val needMeasure = (hostsHint >= 0 && hostsHint > Robots.MaxBroadcastHosts) ||
+      (frontierHint >= SkipContendedProbeAt)
+    val (contendedHosts, contendedEmpty) =
+      if (needMeasure) {
         val c = contendedHosts0.localCheckpoint(true)
-        if (c.count() <= Robots.MaxBroadcastHosts) broadcast(c) else c
-      } else broadcast(contendedHosts0)
+        val n = c.count()
+        (if (n <= Robots.MaxBroadcastHosts) broadcast(c) else c, n == 0L)
+      } else (broadcast(contendedHosts0), false)
+    if (contendedEmpty)
+      return (frontier, frontier.limit(0))
     val tagged = frontier.join(contendedHosts, Seq("host"), "left_outer")
     val uncontended = tagged.filter(col("__contended").isNull).drop("__contended")
     val contended = budgeter(

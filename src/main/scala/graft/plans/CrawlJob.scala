@@ -472,11 +472,12 @@ object CrawlJob {
       if (cfg.virtualClock) clockLatest(spark, t).persist() else null
     val (fetchRaw, deferRaw) =
       if (!cfg.virtualClock)
-        Politeness.select(frontier, policy, cfg.hostBudget, cfg.saltBuckets, hostHwm)
+        Politeness.select(frontier, policy, cfg.hostBudget, cfg.saltBuckets, hostHwm,
+          frontierHint = frontierSize)
       else Politeness.selectWith(frontier,
         Politeness.clockedBudgeter(policy, clockCur, wave,
           cfg.hostBudget, hostHwm),
-        cfg.saltBuckets, hostHwm)
+        cfg.saltBuckets, hostHwm, frontierHint = frontierSize)
 
     // Delta-frontier mode: deferred rows stay in place in the durable
     // frontier (consumed-markers suppress fetched rows), so the deferred
